@@ -1,0 +1,62 @@
+"""Intensity-centroid keypoint orientation (IC_Angle).
+
+Same moment definition as the reference's IC_Angle (reference
+src/ORBextractor.cc:143-178): over a circular patch of radius 15 centered on
+the keypoint, m10 = sum x*I, m01 = sum y*I, angle = atan2(m01, m10). Here
+all keypoints' patches are gathered in one vmapped dynamic-slice and the
+masked moments reduce on the VPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+PATCH_RADIUS = 15
+_P = 2 * PATCH_RADIUS + 1
+
+
+def _circular_mask_and_coords():
+    ys, xs = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
+    mask = (ys * ys + xs * xs) <= PATCH_RADIUS * PATCH_RADIUS
+    return (
+        jnp.asarray(mask.astype(np.float32)),
+        jnp.asarray(xs.astype(np.float32)),
+        jnp.asarray(ys.astype(np.float32)),
+    )
+
+_MASK, _XS, _YS = None, None, None
+
+
+def _constants():
+    global _MASK, _XS, _YS
+    if _MASK is None:
+        _MASK, _XS, _YS = _circular_mask_and_coords()
+    return _MASK, _XS, _YS
+
+
+def gather_patches(img, xy, radius: int):
+    """Gather (2r+1)^2 patches at integer keypoint centers.
+
+    img is edge-padded by `radius` so border keypoints stay in bounds.
+    xy: (N, 2) float (x, y) level coordinates.
+    """
+    p = 2 * radius + 1
+    padded = jnp.pad(img, radius, mode="edge")
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, img.shape[1] - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, img.shape[0] - 1)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (p, p))
+
+    return jax.vmap(one)(yi, xi)  # centers map to padded[y:y+p, x:x+p]
+
+
+def ic_angle(img, xy):
+    """Keypoint orientations in radians, (N,)."""
+    mask, xs, ys = _constants()
+    patches = gather_patches(img, xy, PATCH_RADIUS)  # (N, 31, 31)
+    m10 = jnp.sum(patches * xs * mask, axis=(1, 2))
+    m01 = jnp.sum(patches * ys * mask, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
