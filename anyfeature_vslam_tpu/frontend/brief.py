@@ -24,20 +24,22 @@ N_BITS = 256
 PATCH_SIGMA = 31.0 / 5.0  # classic BRIEF Gaussian spread
 _COORD_CLIP = 13.0  # keep pattern inside the 31x31 patch pre-rotation
 
-_PATTERN = None  # (256, 2, 2) float32: [bit, endpoint, (x, y)]
+def _make_pattern():
+    rng = np.random.default_rng(20240607)
+    pts = rng.normal(0.0, PATCH_SIGMA, size=(N_BITS, 2, 2))
+    return np.clip(pts, -_COORD_CLIP, _COORD_CLIP).astype(np.float32)
+
+
+# plain numpy constants (lazily created jnp arrays would leak tracers when
+# the first call happens under a jit trace)
+_PATTERN = _make_pattern()  # (256, 2, 2) float32: [bit, endpoint, (x, y)]
 
 
 def pattern():
-    global _PATTERN
-    if _PATTERN is None:
-        rng = np.random.default_rng(20240607)
-        pts = rng.normal(0.0, PATCH_SIGMA, size=(N_BITS, 2, 2))
-        pts = np.clip(pts, -_COORD_CLIP, _COORD_CLIP)
-        _PATTERN = jnp.asarray(pts.astype(np.float32))
     return _PATTERN
 
 
-_BIT_WEIGHTS = jnp.asarray((1 << np.arange(8)).astype(np.uint8))
+_BIT_WEIGHTS = (1 << np.arange(8)).astype(np.uint8)
 
 
 def describe(img_blur, xy, angle, valid):

@@ -20,19 +20,19 @@ _P = 2 * PATCH_RADIUS + 1
 def _circular_mask_and_coords():
     ys, xs = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
     mask = (ys * ys + xs * xs) <= PATCH_RADIUS * PATCH_RADIUS
+    # plain numpy: jnp constants created lazily inside a jit trace would leak
+    # tracers into the module cache
     return (
-        jnp.asarray(mask.astype(np.float32)),
-        jnp.asarray(xs.astype(np.float32)),
-        jnp.asarray(ys.astype(np.float32)),
+        mask.astype(np.float32),
+        xs.astype(np.float32),
+        ys.astype(np.float32),
     )
 
-_MASK, _XS, _YS = None, None, None
+
+_MASK, _XS, _YS = _circular_mask_and_coords()
 
 
 def _constants():
-    global _MASK, _XS, _YS
-    if _MASK is None:
-        _MASK, _XS, _YS = _circular_mask_and_coords()
     return _MASK, _XS, _YS
 
 

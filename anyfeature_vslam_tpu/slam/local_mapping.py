@@ -1,0 +1,352 @@
+"""Local mapping: keyframe processing, triangulation, culling, local BA.
+
+Synchronous TPU-native counterpart of the reference LocalMapping thread
+(reference src/LocalMapping.cc:48-119): per new keyframe — observation
+bookkeeping, recent-map-point culling (:194-229), new-point triangulation
+against the best covisible keyframes (:231-473), local bundle adjustment
+(via ops.ba two-stage schedule, reference src/Optimizer.cc:450-768), and
+redundant-keyframe culling (:651-741).
+
+The reference's cross-thread queue + BA-abort flags become a plain function
+call chain with bounded iteration counts (SURVEY 2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from anyfeature_vslam_tpu.ops import ba as ba_ops
+from anyfeature_vslam_tpu.ops import triangulation
+from . import frame_ops
+from .map_state import SlamMap
+
+TRI_RATIO = 0.6          # reference matcher(0.6) for triangulation
+TRI_CHI2 = 5.991
+MIN_BASELINE_DEPTH_RATIO = 0.01  # reference LocalMapping.cc:284-288
+COS_PARALLAX_MAX = 0.9998
+SCALE_CONSISTENCY_FACTOR = 1.8   # ~1.5 * scaleFactor (reference ratioFactor)
+
+
+def _pad_pow2(n, lo=256):
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+def _fundamental_from_poses(t1, t2, k):
+    """F12 mapping points in image 1 to epipolar lines in image 2's frame?
+
+    Convention (reference ComputeF12, src/LocalMapping.cc:557-574):
+    x2^T F12 x1 = 0 with T12 = T1w * T2w^-1 ... we use T21 = T2 T1^-1,
+    E21 = [t]x R, F = K^-T E K^-1 such that x2^T F x1 = 0.
+    """
+    t21 = t2 @ np.linalg.inv(t1)
+    r = t21[:3, :3]
+    t = t21[:3, 3]
+    tx = np.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], np.float32
+    )
+    k_inv = np.linalg.inv(k)
+    return (k_inv.T @ (tx @ r) @ k_inv).astype(np.float32)
+
+
+def run_bundle_adjustment(
+    slam_map: SlamMap, cam, free_kfs, fixed_kfs, pt_ids,
+    n_iters_a: int = 5, n_iters_b: int = 10, remove_outliers: bool = True,
+):
+    """Assemble COO arrays from the map and run two-stage Schur LM.
+
+    Writes refined poses (free KFs) and point positions back into the map;
+    erases outlier observations (reference src/Optimizer.cc:701-747).
+    """
+    free_kfs = [int(k) for k in free_kfs]
+    fixed_kfs = [int(k) for k in fixed_kfs if k not in free_kfs]
+    kf_list = free_kfs + fixed_kfs
+    if not kf_list:
+        return
+    pt_ids = np.asarray(sorted(int(p) for p in pt_ids), np.int64)
+    pt_ids = pt_ids[slam_map.pt_valid[pt_ids]]
+    if len(pt_ids) == 0:
+        return
+    pt_local = np.full(slam_map.max_pt, -1, np.int64)
+    pt_local[pt_ids] = np.arange(len(pt_ids))
+
+    obs_kf, obs_slot, obs_pt, obs_uv, obs_w = [], [], [], [], []
+    for li, kf in enumerate(kf_list):
+        m = slam_map.kf_matches[kf]
+        sl = np.nonzero((m >= 0) & (pt_local[np.clip(m, 0, None)] >= 0))[0]
+        obs_kf.extend([li] * len(sl))
+        obs_slot.extend(sl.tolist())
+        obs_pt.extend(pt_local[m[sl]].tolist())
+        obs_uv.append(slam_map.kf_uv[kf][sl])
+        obs_w.append(slam_map.kf_inv_sigma2[kf][sl])
+    n_obs = len(obs_kf)
+    if n_obs < 10:
+        return
+    obs_uv = np.concatenate(obs_uv).astype(np.float32)
+    obs_w = np.concatenate(obs_w).astype(np.float32)
+
+    # pad to buckets (jit cache friendliness)
+    k_cap = _pad_pow2(len(kf_list), lo=4)
+    p_cap = _pad_pow2(len(pt_ids), lo=256)
+    o_cap = _pad_pow2(n_obs, lo=1024)
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
+    poses[: len(kf_list)] = slam_map.kf_pose[kf_list]
+    pts = np.zeros((p_cap, 3), np.float32)
+    pts[: len(pt_ids)] = slam_map.pt_pos[pt_ids]
+    free = np.zeros(k_cap, bool)
+    free[: len(free_kfs)] = True
+
+    okf = np.zeros(o_cap, np.int32)
+    okf[:n_obs] = obs_kf
+    opt = np.zeros(o_cap, np.int32)
+    opt[:n_obs] = obs_pt
+    ouv = np.zeros((o_cap, 2), np.float32)
+    ouv[:n_obs] = obs_uv
+    ow = np.zeros(o_cap, np.float32)
+    ow[:n_obs] = obs_w
+    ovalid = np.zeros(o_cap, bool)
+    ovalid[:n_obs] = True
+
+    new_poses, new_pts, chi2, z, valid2 = ba_ops.bundle_adjust_two_stage(
+        jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(free),
+        jnp.asarray(okf), jnp.asarray(opt), jnp.asarray(ouv),
+        jnp.asarray(ow), jnp.asarray(ovalid),
+        float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+        n_iters_a=n_iters_a, n_iters_b=n_iters_b,
+    )
+    new_poses = np.asarray(new_poses)
+    new_pts = np.asarray(new_pts)
+    outlier = np.asarray(ba_ops.classify_outliers(chi2, z))[:n_obs]
+
+    for li, kf in enumerate(free_kfs):
+        slam_map.kf_pose[kf] = new_poses[li]
+    slam_map.pt_pos[pt_ids] = new_pts[: len(pt_ids)]
+
+    if remove_outliers:
+        obs_kf = np.asarray(obs_kf)
+        obs_slot = np.asarray(obs_slot)
+        for i in np.nonzero(outlier)[0]:
+            kf = kf_list[obs_kf[i]]
+            slam_map.kf_matches[kf][obs_slot[i]] = -1
+
+
+class LocalMapper:
+    def __init__(self, slam_map: SlamMap, cam, match_th: float = 75.0,
+                 max_tri_kfs: int = 10, max_ba_kfs: int = 20):
+        self.map = slam_map
+        self.cam = cam
+        self.k = np.asarray(cam.k_matrix, np.float32)
+        self.match_th = match_th
+        self.max_tri_kfs = max_tri_kfs
+        self.max_ba_kfs = max_ba_kfs
+        # recent points: pt_id -> kf count at creation (for culling)
+        self.recent: dict[int, int] = {}
+        self.n_kf_processed = 0
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf: int):
+        self.n_kf_processed += 1
+        m = self.map.kf_matches[kf]
+        self.map.update_point_stats(np.unique(m[m >= 0]))
+        self._cull_recent_points()
+        if self.map.n_keyframes() >= 2:
+            self._create_new_points(kf)
+            self._local_ba(kf)
+        self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+    def _cull_recent_points(self):
+        """Reference MapPointCulling (LocalMapping.cc:194-229): drop points
+        with found/visible < 0.25, or <=2 observations two KFs after
+        creation; stop tracking after three KFs."""
+        to_cull = []
+        done = []
+        counts = self.map.point_observation_counts()
+        for pt, born in self.recent.items():
+            if not self.map.pt_valid[pt]:
+                done.append(pt)
+                continue
+            age = self.n_kf_processed - born
+            vis = max(int(self.map.pt_visible[pt]), 1)
+            ratio = self.map.pt_found[pt] / vis
+            if ratio < 0.25:
+                to_cull.append(pt)
+            elif age >= 2 and counts[pt] <= 2:
+                to_cull.append(pt)
+            elif age >= 3:
+                done.append(pt)
+        if to_cull:
+            self.map.remove_points(np.asarray(to_cull))
+        for pt in to_cull + done:
+            self.recent.pop(pt, None)
+
+    # ------------------------------------------------------------------
+    def _create_new_points(self, kf: int):
+        """Reference CreateNewMapPoints (LocalMapping.cc:231-473)."""
+        neighbors, _ = self.map.covisible_keyframes(kf, min_weight=15, max_n=self.max_tri_kfs)
+        if len(neighbors) == 0:
+            # fall back to most recent other keyframe
+            others = [k for k in self.map.keyframe_ids() if k != kf]
+            if not others:
+                return
+            neighbors = [others[-1]]
+        t1 = self.map.kf_pose[kf]
+        c1 = -t1[:3, :3].T @ t1[:3, 3]
+        unmatched1 = (self.map.kf_matches[kf] < 0) & self.map.kf_feat_valid[kf]
+
+        for kf2 in neighbors:
+            kf2 = int(kf2)
+            t2 = self.map.kf_pose[kf2]
+            c2 = -t2[:3, :3].T @ t2[:3, 3]
+            baseline = float(np.linalg.norm(c2 - c1))
+            med_depth = self._median_depth(kf2)
+            if med_depth <= 0 or baseline / med_depth < MIN_BASELINE_DEPTH_RATIO:
+                continue
+            f12 = _fundamental_from_poses(t1, t2, self.k)
+            unmatched2 = (self.map.kf_matches[kf2] < 0) & self.map.kf_feat_valid[kf2]
+            res = {
+                k: np.asarray(v)
+                for k, v in frame_ops.match_for_triangulation(
+                    jnp.asarray(self.map.kf_desc_bits[kf]),
+                    jnp.asarray(self.map.kf_uv[kf]),
+                    jnp.asarray(unmatched1),
+                    jnp.asarray(self.map.kf_inv_sigma2[kf]),
+                    jnp.asarray(self.map.kf_desc_bits[kf2]),
+                    jnp.asarray(self.map.kf_uv[kf2]),
+                    jnp.asarray(unmatched2),
+                    jnp.asarray(self.map.kf_size[kf2] ** 2),
+                    jnp.asarray(f12), self.match_th, TRI_RATIO,
+                ).items()
+            }
+            sl1 = np.nonzero(res["valid"])[0]
+            if len(sl1) == 0:
+                continue
+            sl2 = res["idx"][sl1]
+            uv1 = self.map.kf_uv[kf][sl1]
+            uv2 = self.map.kf_uv[kf2][sl2]
+            p1 = self.k @ t1[:3]
+            p2 = self.k @ t2[:3]
+            pts = np.asarray(
+                triangulation.triangulate_dlt(
+                    jnp.asarray(p1), jnp.asarray(p2),
+                    jnp.asarray(uv1), jnp.asarray(uv2),
+                )
+            )
+            good = self._triangulation_gates(
+                pts, t1, t2, c1, c2, uv1, uv2,
+                self.map.kf_inv_sigma2[kf][sl1], self.map.kf_inv_sigma2[kf2][sl2],
+                self.map.kf_size[kf][sl1], self.map.kf_size[kf2][sl2],
+            )
+            sl1, sl2, pts = sl1[good], sl2[good], pts[good]
+            if len(sl1) == 0:
+                continue
+            ids = self.map.add_points(
+                pts.astype(np.float32),
+                self.map.kf_desc_bits[kf][sl1],
+                kf,
+                self.map.kf_size[kf][sl1],
+            )
+            self.map.kf_matches[kf][sl1] = ids
+            self.map.kf_matches[kf2][sl2] = ids
+            unmatched1[sl1] = False
+            for p in ids:
+                self.recent[int(p)] = self.n_kf_processed
+            self.map.update_point_stats(ids)
+
+    def _median_depth(self, kf: int) -> float:
+        m = self.map.kf_matches[kf]
+        ids = m[m >= 0]
+        if len(ids) == 0:
+            return -1.0
+        t = self.map.kf_pose[kf]
+        pc = self.map.pt_pos[ids] @ t[:3, :3].T + t[:3, 3]
+        return float(np.median(pc[:, 2]))
+
+    def _triangulation_gates(
+        self, pts, t1, t2, c1, c2, uv1, uv2, w1, w2, size1, size2
+    ):
+        finite = np.all(np.isfinite(pts), axis=-1)
+        ray1 = pts - c1
+        ray2 = pts - c2
+        d1 = np.linalg.norm(ray1, axis=-1)
+        d2 = np.linalg.norm(ray2, axis=-1)
+        cosp = (ray1 * ray2).sum(-1) / np.clip(d1 * d2, 1e-12, None)
+        pc1 = pts @ t1[:3, :3].T + t1[:3, 3]
+        pc2 = pts @ t2[:3, :3].T + t2[:3, 3]
+        fx, fy = self.k[0, 0], self.k[1, 1]
+        cx, cy = self.k[0, 2], self.k[1, 2]
+
+        def reproj2(pc, uv):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = fx * pc[:, 0] / pc[:, 2] + cx
+                v = fy * pc[:, 1] / pc[:, 2] + cy
+            return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+
+        e1 = reproj2(pc1, uv1) * w1
+        e2 = reproj2(pc2, uv2) * w2
+        ratio_dist = d2 / np.clip(d1, 1e-12, None)
+        ratio_size = size1 / np.clip(size2, 1e-12, None)
+        scale_ok = (ratio_dist < ratio_size * SCALE_CONSISTENCY_FACTOR) & (
+            ratio_dist * SCALE_CONSISTENCY_FACTOR > ratio_size
+        )
+        return (
+            finite
+            & (cosp < COS_PARALLAX_MAX)
+            & (cosp > 0)
+            & (pc1[:, 2] > 0)
+            & (pc2[:, 2] > 0)
+            & (e1 < TRI_CHI2)
+            & (e2 < TRI_CHI2)
+            & scale_ok
+        )
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, kf: int):
+        """Reference LocalBundleAdjustment structure (Optimizer.cc:450-768):
+        current KF + covisible KFs free; KFs observing local points but not
+        covisible fixed."""
+        cov, _ = self.map.covisible_keyframes(kf, min_weight=1, max_n=self.max_ba_kfs - 1)
+        free = [kf] + [int(c) for c in cov]
+        pt_ids = set()
+        for k in free:
+            m = self.map.kf_matches[k]
+            pt_ids.update(m[m >= 0].tolist())
+        if not pt_ids:
+            return
+        pt_mask = np.zeros(self.map.max_pt, bool)
+        pt_mask[list(pt_ids)] = True
+        fixed = []
+        for other in self.map.keyframe_ids():
+            if other in free:
+                continue
+            m = self.map.kf_matches[other]
+            if pt_mask[m[m >= 0]].any():
+                fixed.append(int(other))
+        # gauge: if nothing is fixed, fix the oldest free KF
+        if not fixed and len(free) > 1:
+            oldest = min(free)
+            free.remove(oldest)
+            fixed = [oldest]
+        run_bundle_adjustment(self.map, self.cam, free, fixed, sorted(pt_ids))
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: int):
+        """Reference KeyFrameCulling (LocalMapping.cc:651-741): a covisible
+        KF is redundant if >=90% of its points are seen by >=3 other KFs at
+        finer or equal scale. Scale check approximated by size comparison."""
+        cov, _ = self.map.covisible_keyframes(kf, min_weight=15)
+        counts = self.map.point_observation_counts()
+        for cand in cov:
+            cand = int(cand)
+            m = self.map.kf_matches[cand]
+            slots = np.nonzero(m >= 0)[0]
+            if len(slots) < 10:
+                continue
+            pts = m[slots]
+            redundant = counts[pts] >= 4  # seen by >=3 others + itself
+            if redundant.mean() > 0.9:
+                self.map.remove_keyframe(cand)

@@ -1,0 +1,222 @@
+"""Fixed-capacity structure-of-arrays SLAM map.
+
+Replaces the reference's pointer graph (Map / KeyFrame / MapPoint /
+Observation, reference include/Map.h, KeyFrame.h, MapPoint.h,
+Observation.h) and its mutexes with plain arrays + free-lists, orchestrated
+single-threaded on the host. Device solvers (pose opt, BA) consume COO
+views of these arrays; the per-frame compute path never touches Python
+object graphs.
+
+Capacities are static; slots are recycled through free-lists. Keyframe ->
+map-point association is the per-keyframe `kf_matches` array (keypoint slot
+-> point id or -1), from which observations, covisibility and BA COO arrays
+are derived.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class SlamMap:
+    def __init__(self, max_kf: int = 512, max_pt: int = 60000, n_feat: int = 1024):
+        self.max_kf = max_kf
+        self.max_pt = max_pt
+        self.n_feat = n_feat
+
+        k, p, n = max_kf, max_pt, n_feat
+        self.kf_valid = np.zeros(k, bool)
+        self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))  # Tcw
+        self.kf_ts = np.zeros(k, np.float64)
+        self.kf_frame_id = np.full(k, -1, np.int64)
+        self.kf_matches = np.full((k, n), -1, np.int32)  # keypoint -> point id
+        # per-KF feature snapshots (set at insertion)
+        self.kf_uv = np.zeros((k, n, 2), np.float32)  # undistorted coords
+        self.kf_desc_bits = np.zeros((k, n, 256), np.uint8)
+        self.kf_octave = np.zeros((k, n), np.int32)
+        self.kf_size = np.ones((k, n), np.float32)
+        self.kf_angle = np.zeros((k, n), np.float32)
+        self.kf_inv_sigma2 = np.ones((k, n), np.float32)
+        self.kf_feat_valid = np.zeros((k, n), bool)
+
+        self.pt_valid = np.zeros(p, bool)
+        self.pt_pos = np.zeros((p, 3), np.float32)
+        self.pt_desc_bits = np.zeros((p, 256), np.uint8)
+        self.pt_normal = np.zeros((p, 3), np.float32)
+        self.pt_min_dist = np.zeros(p, np.float32)
+        self.pt_max_dist = np.zeros(p, np.float32)
+        self.pt_ref_kf = np.full(p, -1, np.int32)
+        self.pt_ref_size = np.ones(p, np.float32)
+        self.pt_ref_dist = np.ones(p, np.float32)
+        self.pt_first_kf = np.full(p, -1, np.int32)
+        self.pt_visible = np.zeros(p, np.int32)
+        self.pt_found = np.zeros(p, np.int32)
+
+        self._next_kf = 0
+        self._next_pt = 0
+
+    # ------------------------------------------------------------------ KFs
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def keyframe_ids(self):
+        return np.nonzero(self.kf_valid)[0]
+
+    def add_keyframe(self, pose, ts, frame_id, feats, matches) -> int:
+        """feats: dict of numpy arrays from the frontend (+ uv_und)."""
+        free = np.nonzero(~self.kf_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        kf = int(free[0])
+        self.kf_valid[kf] = True
+        self.kf_pose[kf] = pose
+        self.kf_ts[kf] = ts
+        self.kf_frame_id[kf] = frame_id
+        self.kf_uv[kf] = feats["uv_und"]
+        self.kf_desc_bits[kf] = feats["desc_bits"]
+        self.kf_octave[kf] = feats["octave"]
+        self.kf_size[kf] = feats["size"]
+        self.kf_angle[kf] = feats["angle"]
+        self.kf_inv_sigma2[kf] = feats["inv_sigma2"]
+        self.kf_feat_valid[kf] = feats["valid"]
+        self.kf_matches[kf] = matches
+        self._next_kf = max(self._next_kf, kf + 1)
+        return kf
+
+    def remove_keyframe(self, kf: int):
+        self.kf_valid[kf] = False
+        self.kf_matches[kf] = -1
+
+    # --------------------------------------------------------------- points
+    def n_points(self) -> int:
+        return int(self.pt_valid.sum())
+
+    def add_points(self, positions, desc_bits, ref_kf, ref_sizes, first_kf=None):
+        """Bulk-add points; returns assigned ids (int32 array)."""
+        m = len(positions)
+        free = np.nonzero(~self.pt_valid)[0][:m]
+        if len(free) < m:
+            raise RuntimeError("map point capacity exhausted")
+        ids = free.astype(np.int32)
+        self.pt_valid[ids] = True
+        self.pt_pos[ids] = positions
+        self.pt_desc_bits[ids] = desc_bits
+        self.pt_ref_kf[ids] = ref_kf
+        self.pt_ref_size[ids] = ref_sizes
+        self.pt_first_kf[ids] = ref_kf if first_kf is None else first_kf
+        self.pt_visible[ids] = 1
+        self.pt_found[ids] = 1
+        return ids
+
+    def remove_points(self, ids):
+        ids = np.asarray(ids, np.int32)
+        self.pt_valid[ids] = False
+        # erase observations
+        for kf in self.keyframe_ids():
+            m = self.kf_matches[kf]
+            mask = np.isin(m, ids)
+            if mask.any():
+                m[mask] = -1
+
+    # ----------------------------------------------------------- structure
+    def observations_of_points(self, pt_ids):
+        """COO (kf, slot, pt) observation triples for the given points."""
+        pt_set = set(int(p) for p in pt_ids)
+        kfs, slots, pts = [], [], []
+        for kf in self.keyframe_ids():
+            m = self.kf_matches[kf]
+            sl = np.nonzero((m >= 0) & np.isin(m, list(pt_set)))[0]
+            kfs.extend([kf] * len(sl))
+            slots.extend(sl.tolist())
+            pts.extend(m[sl].tolist())
+        return (
+            np.asarray(kfs, np.int32),
+            np.asarray(slots, np.int32),
+            np.asarray(pts, np.int32),
+        )
+
+    def point_observation_counts(self):
+        """(max_pt,) number of observing keyframes per point."""
+        counts = np.zeros(self.max_pt, np.int64)
+        for kf in self.keyframe_ids():
+            m = self.kf_matches[kf]
+            ids = m[m >= 0]
+            np.add.at(counts, ids, 1)
+        return counts
+
+    def covisibility_weights(self, kf: int):
+        """(max_kf,) number of map points shared with `kf` (reference
+        KeyFrame::UpdateConnections semantics, weight = shared points)."""
+        my_pts = self.kf_matches[kf]
+        my_pts = my_pts[my_pts >= 0]
+        w = np.zeros(self.max_kf, np.int64)
+        if len(my_pts) == 0:
+            return w
+        mask = np.zeros(self.max_pt, bool)
+        mask[my_pts] = True
+        for other in self.keyframe_ids():
+            if other == kf:
+                continue
+            m = self.kf_matches[other]
+            ids = m[m >= 0]
+            w[other] = mask[ids].sum()
+        return w
+
+    def covisible_keyframes(self, kf: int, min_weight: int = 15, max_n: int | None = None):
+        w = self.covisibility_weights(kf)
+        ids = np.nonzero(w >= min_weight)[0]
+        order = np.argsort(-w[ids], kind="stable")
+        ids = ids[order]
+        if max_n is not None:
+            ids = ids[:max_n]
+        return ids, w
+
+    def update_point_stats(self, pt_ids=None):
+        """Recompute distinctive descriptor, mean normal and scale band for
+        points (reference MapPoint::ComputeDistinctiveDescriptors :279-349,
+        UpdateNormalAndDepth :372-430)."""
+        if pt_ids is None:
+            pt_ids = np.nonzero(self.pt_valid)[0]
+        pt_ids = np.asarray(pt_ids)
+        if len(pt_ids) == 0:
+            return
+        # gather observations per point
+        obs_kf, obs_slot, obs_pt = self.observations_of_points(pt_ids)
+        centers = {}
+        for kf in np.unique(obs_kf):
+            t = self.kf_pose[kf]
+            centers[kf] = (-t[:3, :3].T @ t[:3, 3]).astype(np.float32)
+        by_pt = {}
+        for k, s, p in zip(obs_kf, obs_slot, obs_pt):
+            by_pt.setdefault(int(p), []).append((int(k), int(s)))
+        for p, obs in by_pt.items():
+            descs = np.stack([self.kf_desc_bits[k, s] for k, s in obs])
+            if len(obs) > 1:
+                d = (descs[:, None, :] != descs[None, :, :]).sum(-1)
+                medians = np.median(d, axis=1)
+                best = int(np.argmin(medians))
+            else:
+                best = 0
+            self.pt_desc_bits[p] = descs[best]
+            pos = self.pt_pos[p]
+            normals = np.stack([pos - centers[k] for k, _ in obs])
+            norms = np.linalg.norm(normals, axis=1, keepdims=True)
+            normals = normals / np.clip(norms, 1e-9, None)
+            self.pt_normal[p] = normals.mean(0)
+            # scale band from the reference observation
+            rk, rs = obs[0]
+            ref_kf = int(self.pt_ref_kf[p])
+            for k, s in obs:
+                if k == ref_kf:
+                    rk, rs = k, s
+                    break
+            dist = float(np.linalg.norm(pos - centers[rk]))
+            size = float(self.kf_size[rk, rs])
+            self.pt_ref_size[p] = size
+            self.pt_ref_dist[p] = dist
+            # reference scale-invariance band (MapPoint.cc:402-431):
+            # maxDistance = dist * refSize, minDistance = maxDistance /
+            # maxKeyPtSize (1.2^7), invariance bounds 0.8*min .. 1.2*max
+            max_size = 1.2 ** 7
+            self.pt_max_dist[p] = 1.2 * dist * size
+            self.pt_min_dist[p] = 0.8 * dist * size / max_size

@@ -1,0 +1,511 @@
+"""Tracking: per-frame state machine (host-orchestrated, jitted compute).
+
+The TPU-native counterpart of the reference Tracking thread (reference
+src/Tracking.cc): NOT_INITIALIZED -> OK -> LOST, with monocular two-view
+initialization, motion-model tracking, reference-keyframe fallback,
+local-map tracking, and the mono keyframe decision (Tracking.cc:838-922:
+c1a frames>=maxFrames | c1b mappingIdle, AND c2 inliers < 0.9*refMatches
+with inliers > 15).
+
+All per-frame compute (extraction, matching, pose LM, projection) runs as
+jitted static-shape programs; this module is glue + bookkeeping on numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_orb
+from anyfeature_vslam_tpu.ops import camera as cam_ops
+from anyfeature_vslam_tpu.ops import initializer, pose_opt
+from anyfeature_vslam_tpu.ops import se3 as se3_ops
+from . import frame_ops
+from .map_state import SlamMap
+
+
+class TrackState(Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackingConfig:
+    n_features: int = 1000
+    match_th: float = 75.0           # settings/orb32_settings.yaml matchingTh
+    init_window: float = 100.0       # reference Tracking.cc:473 (SearchForInitialization)
+    init_ratio: float = 0.9
+    min_init_matches: int = 100      # reference Tracking.cc:466
+    min_init_tracked: int = 100      # reference Tracking.cc:554-559
+    motion_radius: float = 15.0      # reference Tracking.cc:744 (th for mono)
+    refkf_ratio: float = 0.7         # reference TrackReferenceKeyFrame matcher(0.7)
+    local_ratio: float = 0.8         # reference SearchLocalPoints matcher(0.8)
+    local_radius: float = 1.0        # reference th=1
+    min_motion_matches: int = 20
+    min_track_inliers: int = 10
+    min_local_inliers: int = 30
+    kf_ref_ratio: float = 0.9        # refRatio_high_needNewKey
+    kf_min_inliers: int = 15         # minMatchesInliers
+    max_local_kfs: int = 80
+    local_pt_bucket: int = 4096
+    detect_th: float = 20.0
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    seed: int = 0
+
+
+@dataclass
+class FrameData:
+    frame_id: int
+    ts: float
+    feats: dict            # numpy arrays incl. uv_und
+    pose: np.ndarray | None = None       # Tcw 4x4
+    matches: np.ndarray | None = None    # (N,) kp slot -> point id or -1
+
+
+def _np(d):
+    return {k: np.asarray(v) for k, v in d.items()}
+
+
+def _pad_pow2(n, lo=256):
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+class Tracker:
+    def __init__(self, cfg: TrackingConfig, camera: cam_ops.CameraParams, slam_map: SlamMap):
+        self.cfg = cfg
+        self.cam = camera
+        self.map = slam_map
+        self.state = TrackState.NOT_INITIALIZED
+        self.ext_cfg = ExtractorConfig(
+            n_features=cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor, detect_th=cfg.detect_th,
+        )
+        # init extractor uses 2x features (reference Tracking.h:239)
+        self.ext_cfg_init = ExtractorConfig(
+            n_features=2 * cfg.n_features, n_levels=cfg.n_levels,
+            scale_factor=cfg.scale_factor, detect_th=cfg.detect_th,
+        )
+        b = cam_ops.undistorted_bounds(camera)
+        self.bounds_lo = np.array([float(b[0]), float(b[2])], np.float32)
+        self.bounds_hi = np.array([float(b[1]), float(b[3])], np.float32)
+        self.velocity = None          # T_cur_last
+        self.last: FrameData | None = None
+        self.init_ref: FrameData | None = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.frame_id = 0
+        self.n_inliers = 0
+        # trajectory: per frame (ts, T_cur_ref, ref_kf, lost)
+        self.trajectory: list = []
+        self.on_new_keyframe = None   # callback(kf_id) -> local mapping
+        self.stats = dict(tracked_frames=0, lost_frames=0, resets=0)
+
+    # ------------------------------------------------------------ frontend
+    def _extract(self, img: np.ndarray, init: bool) -> dict:
+        cfg = self.ext_cfg_init if init else self.ext_cfg
+        feats = _np(extract_orb(jnp.asarray(img), cfg, img.shape[0], img.shape[1]))
+        uv_und = np.asarray(
+            cam_ops.undistort_points(self.cam, jnp.asarray(feats["xy"]))
+        )
+        feats["uv_und"] = uv_und.astype(np.float32)
+        return feats
+
+    # ------------------------------------------------------------ main API
+    def process_frame(self, img: np.ndarray, ts: float):
+        fid = self.frame_id
+        self.frame_id += 1
+        init_phase = self.state == TrackState.NOT_INITIALIZED
+        feats = self._extract(img, init=init_phase)
+        frame = FrameData(fid, ts, feats)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._monocular_initialization(frame)
+        elif self.state == TrackState.OK:
+            ok = self._track(frame)
+            if not ok:
+                self.state = TrackState.LOST
+                self.stats["lost_frames"] += 1
+                # reference: reset whole system if lost early (Tracking.cc:355-363)
+                if self.map.n_keyframes() <= 5:
+                    self._reset()
+        else:
+            self.stats["lost_frames"] += 1
+            # relocalization lands with the BoW database (later round)
+
+        if frame.pose is not None and self.ref_kf >= 0:
+            t_ref = self.map.kf_pose[self.ref_kf]
+            t_cr = frame.pose @ np.linalg.inv(t_ref)
+            self.trajectory.append(
+                (ts, t_cr.copy(), int(self.ref_kf), self.state != TrackState.OK)
+            )
+            self.stats["tracked_frames"] += 1
+        return self.state
+
+    def _reset(self):
+        self.map.__init__(self.map.max_kf, self.map.max_pt, self.map.n_feat)
+        self.state = TrackState.NOT_INITIALIZED
+        self.velocity = None
+        self.last = None
+        self.init_ref = None
+        self.ref_kf = -1
+        self.stats["resets"] += 1
+
+    # ---------------------------------------------------- initialization
+    def _monocular_initialization(self, frame: FrameData):
+        cfg = self.cfg
+        n_valid = int(frame.feats["valid"].sum())
+        if self.init_ref is None:
+            if n_valid > 100:  # reference Tracking.cc:446-459
+                self.init_ref = frame
+            return
+        if n_valid <= 100:
+            self.init_ref = None
+            return
+        ref = self.init_ref
+        res = _np(
+            frame_ops.match_for_initialization(
+                jnp.asarray(ref.feats["uv_und"]), jnp.asarray(ref.feats["desc_bits"]),
+                jnp.asarray(ref.feats["octave"]), jnp.asarray(ref.feats["angle"]),
+                jnp.asarray(ref.feats["valid"]),
+                jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
+                jnp.asarray(frame.feats["octave"]), jnp.asarray(frame.feats["angle"]),
+                jnp.asarray(frame.feats["valid"]),
+                cfg.init_window, cfg.match_th, cfg.init_ratio,
+            )
+        )
+        n_matches = int(res["valid"].sum())
+        if n_matches < cfg.min_init_matches:
+            self.init_ref = None  # reference Tracking.cc:469-476
+            return
+        uv1 = ref.feats["uv_und"]
+        uv2 = frame.feats["uv_und"][res["idx"]]
+        init = _np(
+            initializer.initialize_two_view(
+                jnp.asarray(uv1), jnp.asarray(uv2.astype(np.float32)),
+                jnp.asarray(res["valid"]), jnp.asarray(np.asarray(self.cam.k_matrix)),
+                cfg.seed,
+            )
+        )
+        if not bool(init["success"]):
+            return
+        self._create_initial_map(ref, frame, res, init)
+
+    def _create_initial_map(self, ref: FrameData, frame: FrameData, match, init):
+        """Reference CreateInitialMapMonocular (Tracking.cc:510-599)."""
+        cfg = self.cfg
+        good = match["valid"] & init["good"]
+        n_good = int(good.sum())
+        if n_good < cfg.min_init_tracked:
+            return
+        t1 = np.eye(4, dtype=np.float32)
+        t21 = init["t21"].astype(np.float32)
+
+        # map points from triangulation (frame-1/world coords)
+        slots1 = np.nonzero(good)[0]
+        slots2 = match["idx"][slots1]
+        pts3d = init["pts3d"][slots1].astype(np.float32)
+
+        matches1 = np.full(self.map.n_feat, -1, np.int32)
+        matches2 = np.full(self.map.n_feat, -1, np.int32)
+
+        # The init extractor runs with 2x feature budget (reference
+        # Tracking.h:239) but keyframes store n_feat slots — compact each
+        # frame's features so every matched keypoint survives, then fill
+        # remaining slots with the strongest unmatched ones.
+        def compact(feats, priority_slots):
+            n_out = self.map.n_feat
+            cap = len(feats["valid"])
+            pri = np.zeros(cap, bool)
+            pri[priority_slots] = True
+            rest = np.nonzero(feats["valid"] & ~pri)[0]
+            rest = rest[np.argsort(-feats["resp"][rest], kind="stable")]
+            order = np.concatenate([priority_slots, rest])[:n_out]
+            out = {k: v[order] for k, v in feats.items()}
+            if len(order) < n_out:
+                pad = n_out - len(order)
+                for k, v in out.items():
+                    out[k] = np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                out["valid"][len(order):] = False
+            slot_map = np.full(cap, -1, np.int64)
+            slot_map[order] = np.arange(len(order))
+            return out, slot_map
+
+        f1, map1 = compact(ref.feats, slots1)
+        f2, map2 = compact(frame.feats, slots2)
+        slots1 = map1[slots1]
+        slots2 = map2[slots2]
+        assert (slots1 >= 0).all() and (slots2 >= 0).all()
+        kf1 = self.map.add_keyframe(t1, ref.ts, ref.frame_id, f1, matches1)
+        kf2 = self.map.add_keyframe(t21, frame.ts, frame.frame_id, f2, matches2)
+        ids = self.map.add_points(
+            pts3d, f1["desc_bits"][slots1], kf1, f1["size"][slots1]
+        )
+        self.map.kf_matches[kf1][slots1] = ids
+        self.map.kf_matches[kf2][slots2] = ids
+        self.map.update_point_stats(ids)
+
+        # global BA on the initial two-KF map (reference: 20 iterations)
+        from .local_mapping import run_bundle_adjustment
+
+        run_bundle_adjustment(
+            self.map, self.cam, free_kfs=[kf2], fixed_kfs=[kf1],
+            pt_ids=ids, n_iters_a=10, n_iters_b=10,
+        )
+
+        # scale normalization: median scene depth -> 1 (Tracking.cc:551-575)
+        pts = self.map.pt_pos[self.map.kf_matches[kf1][self.map.kf_matches[kf1] >= 0]]
+        pc = pts @ self.map.kf_pose[kf1][:3, :3].T + self.map.kf_pose[kf1][:3, 3]
+        median_depth = float(np.median(pc[:, 2]))
+        n_tracked = int((self.map.kf_matches[kf2] >= 0).sum())
+        if median_depth <= 0 or n_tracked < cfg.min_init_tracked:
+            self._reset()
+            return
+        inv_md = 1.0 / median_depth
+        for kf in (kf1, kf2):
+            self.map.kf_pose[kf][:3, 3] *= inv_md
+        valid_pts = np.nonzero(self.map.pt_valid)[0]
+        self.map.pt_pos[valid_pts] *= inv_md
+        self.map.update_point_stats(valid_pts)
+
+        frame.pose = self.map.kf_pose[kf2].copy()
+        frame.matches = self.map.kf_matches[kf2].copy()
+        self.ref_kf = kf2
+        self.last_kf_frame_id = frame.frame_id
+        self.last = frame
+        self.velocity = None
+        self.state = TrackState.OK
+        self.init_ref = None
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf1)
+            self.on_new_keyframe(kf2)
+
+    # ------------------------------------------------------------ tracking
+    def _track(self, frame: FrameData) -> bool:
+        cfg = self.cfg
+        ok = False
+        if self.velocity is not None:
+            ok = self._track_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_kf(frame)
+        if not ok:
+            return False
+        ok = self._track_local_map(frame)
+        if not ok:
+            return False
+
+        # velocity update (reference Tracking.cc:340-350)
+        if self.last is not None and self.last.pose is not None:
+            self.velocity = frame.pose @ np.linalg.inv(self.last.pose)
+        self.last = frame
+
+        if self._need_new_keyframe(frame):
+            self._create_new_keyframe(frame)
+        return True
+
+    def _pose_optimize(self, frame: FrameData, matches: np.ndarray, init_pose):
+        """matches: (N,) kp -> pt id. Returns (pose, inlier_matches, n_inliers)."""
+        has = matches >= 0
+        pt_ids = np.where(has, matches, 0)
+        pts = self.map.pt_pos[pt_ids]
+        t, inlier, n_in = pose_opt.pose_optimize(
+            jnp.asarray(init_pose.astype(np.float32)), jnp.asarray(pts),
+            jnp.asarray(frame.feats["uv_und"]),
+            jnp.asarray(frame.feats["inv_sigma2"]),
+            jnp.asarray(has & frame.feats["valid"]),
+            float(self.cam.fx), float(self.cam.fy), float(self.cam.cx), float(self.cam.cy),
+        )
+        inlier = np.asarray(inlier)
+        out_matches = np.where(inlier, matches, -1).astype(np.int32)
+        return np.asarray(t), out_matches, int(n_in)
+
+    def _track_motion_model(self, frame: FrameData) -> bool:
+        cfg = self.cfg
+        last = self.last
+        pred_pose = (self.velocity @ last.pose).astype(np.float32)
+        has_pt = last.matches >= 0
+        pt_ids = np.where(has_pt, last.matches, 0)
+        pts = self.map.pt_pos[pt_ids]
+        # project last frame's points with predicted pose
+        pc = pts @ pred_pose[:3, :3].T + pred_pose[:3, 3]
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = float(self.cam.fx) * pc[:, 0] / z + float(self.cam.cx)
+            v = float(self.cam.fy) * pc[:, 1] / z + float(self.cam.cy)
+        uv_proj = np.stack([u, v], -1).astype(np.float32)
+        proj_valid = (
+            has_pt & (z > 0)
+            & (u >= self.bounds_lo[0]) & (u < self.bounds_hi[0])
+            & (v >= self.bounds_lo[1]) & (v < self.bounds_hi[1])
+        )
+        uv_proj = np.where(np.isfinite(uv_proj), uv_proj, 0.0).astype(np.float32)
+
+        for radius in (cfg.motion_radius, 2 * cfg.motion_radius):
+            res = _np(
+                frame_ops.match_frame_to_frame(
+                    jnp.asarray(last.feats["uv_und"]), jnp.asarray(last.feats["desc_bits"]),
+                    jnp.asarray(last.feats["size"]), jnp.asarray(has_pt),
+                    jnp.asarray(uv_proj), jnp.asarray(proj_valid),
+                    jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
+                    jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
+                    jnp.asarray(last.feats["angle"]), jnp.asarray(frame.feats["angle"]),
+                    radius, cfg.match_th,
+                )
+            )
+            if int(res["valid"].sum()) >= cfg.min_motion_matches:
+                break
+        if int(res["valid"].sum()) < cfg.min_motion_matches:
+            return False
+        # build frame matches: frame kp slot -> pt id
+        matches = np.full(self.map.n_feat, -1, np.int32)
+        src = np.nonzero(res["valid"])[0]
+        matches[res["idx"][src]] = last.matches[src]
+        pose, matches, n_in = self._pose_optimize(frame, matches, pred_pose)
+        frame.pose = pose
+        frame.matches = matches
+        return n_in >= cfg.min_track_inliers
+
+    def _track_reference_kf(self, frame: FrameData) -> bool:
+        cfg = self.cfg
+        if self.ref_kf < 0:
+            return False
+        kf = self.ref_kf
+        kf_has_pt = self.map.kf_matches[kf] >= 0
+        res = _np(
+            frame_ops.match_descriptors_global(
+                jnp.asarray(frame.feats["desc_bits"]), jnp.asarray(frame.feats["valid"]),
+                jnp.asarray(frame.feats["angle"]),
+                jnp.asarray(self.map.kf_desc_bits[kf]),
+                jnp.asarray(kf_has_pt & self.map.kf_feat_valid[kf]),
+                jnp.asarray(self.map.kf_angle[kf]),
+                cfg.match_th, cfg.refkf_ratio,
+            )
+        )
+        if int(res["valid"].sum()) < 15:  # reference needs >=15 BoW matches
+            return False
+        matches = np.where(
+            res["valid"], self.map.kf_matches[kf][res["idx"]], -1
+        ).astype(np.int32)
+        init_pose = self.last.pose if self.last and self.last.pose is not None else self.map.kf_pose[kf]
+        pose, matches, n_in = self._pose_optimize(frame, matches, init_pose)
+        frame.pose = pose
+        frame.matches = matches
+        return n_in >= cfg.min_track_inliers
+
+    def _local_map_ids(self, frame: FrameData):
+        """Local keyframes + points (reference UpdateLocalKeyFrames /
+        UpdateLocalPoints, Tracking.cc:1040-1144)."""
+        matched = frame.matches[frame.matches >= 0]
+        if len(matched) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        # KFs observing current points
+        obs_counts = {}
+        pt_mask = np.zeros(self.map.max_pt, bool)
+        pt_mask[matched] = True
+        for kf in self.map.keyframe_ids():
+            m = self.map.kf_matches[kf]
+            c = int(pt_mask[m[m >= 0]].sum())
+            if c > 0:
+                obs_counts[kf] = c
+        k1 = sorted(obs_counts, key=obs_counts.get, reverse=True)[: self.cfg.max_local_kfs]
+        local_kfs = list(k1)
+        # neighbors of the best covisible
+        if k1:
+            best = k1[0]
+            cov, _ = self.map.covisible_keyframes(best, min_weight=15, max_n=10)
+            for kf in cov:
+                if kf not in local_kfs and len(local_kfs) < self.cfg.max_local_kfs:
+                    local_kfs.append(int(kf))
+            self.ref_kf = int(max(obs_counts, key=obs_counts.get))
+        # local points = points of local KFs
+        pts = set()
+        for kf in local_kfs:
+            m = self.map.kf_matches[kf]
+            pts.update(m[m >= 0].tolist())
+        return np.asarray(local_kfs, np.int64), np.asarray(sorted(pts), np.int64)
+
+    def _track_local_map(self, frame: FrameData) -> bool:
+        cfg = self.cfg
+        local_kfs, local_pts = self._local_map_ids(frame)
+        if len(local_pts) == 0:
+            return False
+        # exclude points already matched in this frame
+        already = set(frame.matches[frame.matches >= 0].tolist())
+        cand = np.asarray([p for p in local_pts if p not in already], np.int64)
+        if len(cand) > 0:
+            bucket = _pad_pow2(len(cand), lo=min(self.cfg.local_pt_bucket, 256))
+            pad = bucket - len(cand)
+            idx = np.concatenate([cand, np.zeros(pad, np.int64)])
+            pad_valid = np.concatenate([np.ones(len(cand), bool), np.zeros(pad, bool)])
+
+            uv, dist, viewcos, pred_size, visible = frame_ops.project_points(
+                jnp.asarray(self.map.pt_pos[idx]), jnp.asarray(self.map.pt_normal[idx]),
+                jnp.asarray(self.map.pt_min_dist[idx]), jnp.asarray(self.map.pt_max_dist[idx]),
+                jnp.asarray(self.map.pt_ref_size[idx]), jnp.asarray(self.map.pt_ref_dist[idx]),
+                jnp.asarray(frame.pose), float(self.cam.fx), float(self.cam.fy),
+                float(self.cam.cx), float(self.cam.cy),
+                jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
+            )
+            visible = np.asarray(visible) & pad_valid
+            self.map.pt_visible[idx[visible]] += 1
+            res = _np(
+                frame_ops.match_by_projection(
+                    uv, pred_size, viewcos,
+                    jnp.asarray(self.map.pt_desc_bits[idx]), jnp.asarray(visible),
+                    jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
+                    jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
+                    cfg.local_radius, cfg.match_th, cfg.local_ratio,
+                )
+            )
+            matches = frame.matches.copy()
+            src = np.nonzero(res["valid"])[0]
+            # don't overwrite existing matches
+            tgt = res["idx"][src]
+            free_slot = matches[tgt] < 0
+            matches[tgt[free_slot]] = idx[src[free_slot]]
+        else:
+            matches = frame.matches
+
+        pose, matches, n_in = self._pose_optimize(frame, matches, frame.pose)
+        frame.pose = pose
+        frame.matches = matches
+        self.n_inliers = n_in
+        found = matches[matches >= 0]
+        self.map.pt_found[found] += 1
+        return n_in >= cfg.min_local_inliers
+
+    # --------------------------------------------------------- keyframes
+    def _need_new_keyframe(self, frame: FrameData) -> bool:
+        cfg = self.cfg
+        n_kf = self.map.n_keyframes()
+        min_obs = 3 if n_kf > 2 else 2
+        counts = self.map.point_observation_counts()
+        ref_m = self.map.kf_matches[self.ref_kf]
+        ref_pts = ref_m[ref_m >= 0]
+        n_ref = int((counts[ref_pts] >= min_obs).sum())
+        frames_since = frame.frame_id - self.last_kf_frame_id
+        c1a = frames_since >= 30  # maxFrames = fps
+        c1b = frames_since >= 0   # minFrames=0 and synchronous mapping is idle
+        c2 = (self.n_inliers < n_ref * cfg.kf_ref_ratio) and (
+            self.n_inliers > cfg.kf_min_inliers
+        )
+        return (c1a or c1b) and c2
+
+    def _create_new_keyframe(self, frame: FrameData):
+        kf = self.map.add_keyframe(
+            frame.pose, frame.ts, frame.frame_id, frame.feats, frame.matches.copy()
+        )
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+        # mapping may have refined poses; keep frame/last in sync
+        frame.pose = self.map.kf_pose[kf].copy()
+        frame.matches = self.map.kf_matches[kf].copy()

@@ -1,0 +1,126 @@
+"""System facade: wires tracking + local mapping, runs sequences, saves output.
+
+TPU-native counterpart of the reference `System` class (reference
+include/System.h:52, src/System.cc): constructs the map, tracker and local
+mapper, routes frames, and saves trajectories + statistics. The reference's
+three worker threads become a synchronous host pipeline (tracking inline,
+local-mapping on keyframe insertion); loop closing is added by the
+place-recognition module when enabled.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .io import dataset, trajectory
+from .ops.camera import CameraParams
+from .slam.local_mapping import LocalMapper
+from .slam.map_state import SlamMap
+from .slam.tracking import Tracker, TrackingConfig, TrackState
+
+FEATURE_SETTINGS = {
+    # feature name -> (n_octaves, scale_factor, detect_th, match_th)
+    # values from reference settings/*.yaml
+    "orb32": (8, 1.2, 20.0, 75.0),
+    "akaze61": (8, 1.1892, 0.0005, 128.0),
+    "brisk48": (8, 1.2, 55.0, 120.0),
+    "sift128": (8, 2.0, 10.0, 0.5),
+    "surf64": (8, 2.0, 100.0, 0.05),
+    "kaze64": (8, 1.2599, 0.0005, 0.05),
+    "r2d2_128": (1, 1.0, 0.5, 0.38),
+    "anyfeat_bin": (8, 1.2, 20.0, 90.0),
+    "anyfeat_nonbin": (8, 1.2, 20.0, 0.5),
+}
+
+
+class System:
+    def __init__(
+        self,
+        camera: CameraParams,
+        feature: str = "orb32",
+        n_features: int | None = None,
+        max_kf: int = 512,
+        max_pt: int = 60000,
+        seed: int = 0,
+        fps: float = 30.0,
+    ):
+        if feature not in ("orb32",):
+            if feature not in FEATURE_SETTINGS:
+                raise ValueError(f"unknown feature type: {feature}")
+            raise NotImplementedError(
+                f"feature '{feature}' not wired into the pipeline yet (orb32 only)"
+            )
+        n_oct, scale, detect_th, match_th = FEATURE_SETTINGS[feature]
+        if n_features is None:
+            # reference Tracking.cc:1515-1520: 1000 below 310k px, 2000 above
+            n_features = 2000 if camera.width * camera.height > 310000 else 1000
+        cfg = TrackingConfig(
+            n_features=n_features,
+            match_th=match_th,
+            detect_th=detect_th,
+            n_levels=n_oct,
+            scale_factor=scale,
+            seed=seed,
+        )
+        from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig
+
+        capacity = ExtractorConfig(n_features=n_features, n_levels=n_oct, scale_factor=scale).capacity
+        self.map = SlamMap(max_kf=max_kf, max_pt=max_pt, n_feat=capacity)
+        self.tracker = Tracker(cfg, camera, self.map)
+        self.local_mapper = LocalMapper(self.map, camera, match_th=match_th)
+        self.tracker.on_new_keyframe = self.local_mapper.process_keyframe
+        self.camera = camera
+        self.fps = fps
+        self.frame_times: list[float] = []
+
+    def track_monocular(self, img: np.ndarray, ts: float) -> TrackState:
+        t0 = time.perf_counter()
+        state = self.tracker.process_frame(img, ts)
+        self.frame_times.append(time.perf_counter() - t0)
+        return state
+
+    # ------------------------------------------------------------- output
+    def save_outputs(self, out_dir: str, exp_id: str = "exp"):
+        os.makedirs(out_dir, exist_ok=True)
+        kf_csv = os.path.join(out_dir, f"{exp_id}_KeyFrameTrajectory.csv")
+        trajectory.save_keyframe_trajectory_vslamlab(kf_csv, self.map)
+        tum_txt = os.path.join(out_dir, f"{exp_id}_FrameTrajectory_TUM.txt")
+        trajectory.save_frame_trajectory_tum(tum_txt, self.tracker.trajectory, self.map)
+        stats = dict(self.tracker.stats)
+        if self.frame_times:
+            stats["medianTrackingTime_s"] = round(float(np.median(self.frame_times)), 4)
+            stats["meanTrackingTime_s"] = round(float(np.mean(self.frame_times)), 4)
+        trajectory.save_statistics_yaml(
+            os.path.join(out_dir, f"{exp_id}_statistics.yaml"), self.map, stats
+        )
+        return kf_csv
+
+
+def run_sequence(
+    sequence_path: str,
+    feature: str = "orb32",
+    out_dir: str | None = None,
+    exp_id: str = "exp",
+    max_frames: int | None = None,
+    verbose: bool = True,
+):
+    """End-to-end: load sequence, run SLAM, save trajectory. Returns System."""
+    seq = dataset.load_sequence(sequence_path)
+    system = System(seq.camera, feature=feature, fps=seq.fps)
+    n = len(seq.image_paths) if max_frames is None else min(max_frames, len(seq.image_paths))
+    for i in range(n):
+        img = dataset.load_gray(seq.image_paths[i])
+        state = system.track_monocular(img, seq.timestamps[i])
+        if verbose:
+            print(
+                f"frame {i}/{n} state={state.name} kfs={system.map.n_keyframes()} "
+                f"pts={system.map.n_points()} inliers={system.tracker.n_inliers}",
+                flush=True,
+            )
+    if out_dir is not None:
+        system.save_outputs(out_dir, exp_id)
+    return system
