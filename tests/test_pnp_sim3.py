@@ -1,0 +1,123 @@
+import numpy as np
+import jax.numpy as jnp
+
+from anyfeature_vslam_tpu.ops import pnp, sim3, se3
+
+FX, FY, CX, CY = 500.0, 500.0, 320.0, 240.0
+
+
+def make_pnp_problem(n=150, outliers=0, noise=0.3, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3)).astype(np.float32)
+    xi = np.array([0.2, -0.1, 0.15, 0.08, -0.1, 0.05], np.float32)
+    t_gt = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+    pc = pts @ t_gt[:3, :3].T + t_gt[:3, 3]
+    uv = np.stack([FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], -1)
+    uv += rng.normal(0, noise, uv.shape)
+    if outliers:
+        uv[:outliers] = rng.uniform([0, 0], [640, 480], (outliers, 2))
+    return t_gt, pts, uv.astype(np.float32)
+
+
+def run_pnp(pts, uv, n=None, valid=None, seed=0):
+    m = len(pts)
+    valid = np.ones(m, bool) if valid is None else valid
+    return {
+        k: np.asarray(v)
+        for k, v in pnp.pnp_ransac(
+            jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(np.ones(m, np.float32)),
+            jnp.asarray(valid), FX, FY, CX, CY, seed,
+        ).items()
+    }
+
+
+def pose_err(r, t, t_gt):
+    t_est = np.eye(4, dtype=np.float32)
+    t_est[:3, :3] = r
+    t_est[:3, 3] = t
+    return np.abs(np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(t_est) @ t_gt)))).max()
+
+
+def test_pnp_clean():
+    t_gt, pts, uv = make_pnp_problem()
+    res = run_pnp(pts, uv)
+    assert res["n_inliers"] > 140
+    assert pose_err(res["r"], res["t"], t_gt) < 5e-3
+
+
+def test_pnp_outliers():
+    t_gt, pts, uv = make_pnp_problem(outliers=50, seed=1)
+    res = run_pnp(pts, uv)
+    assert res["n_inliers"] > 90
+    assert res["inliers"][:50].mean() < 0.15
+    assert pose_err(res["r"], res["t"], t_gt) < 1e-2
+
+
+def test_pnp_respects_valid_mask():
+    t_gt, pts, uv = make_pnp_problem(seed=2)
+    uv2 = uv.copy()
+    uv2[:60] += 300.0
+    valid = np.ones(len(pts), bool)
+    valid[:60] = False
+    res = run_pnp(pts, uv2, valid=valid)
+    assert not res["inliers"][:60].any()
+    assert pose_err(res["r"], res["t"], t_gt) < 1e-2
+
+
+def make_sim3_problem(n=120, s=1.7, outliers=0, seed=0):
+    rng = np.random.default_rng(seed)
+    pc2 = rng.uniform([-2, -2, 4], [2, 2, 10], (n, 3)).astype(np.float32)
+    phi = np.array([0.1, -0.3, 0.2], np.float32)
+    r = np.asarray(se3.so3_exp(jnp.asarray(phi)))
+    t = np.array([0.4, -0.2, 0.3], np.float32)
+    pc1 = s * pc2 @ r.T + t
+
+    def proj(p):
+        return np.stack(
+            [FX * p[:, 0] / p[:, 2] + CX, FY * p[:, 1] / p[:, 2] + CY], -1
+        ).astype(np.float32)
+
+    uv1, uv2 = proj(pc1), proj(pc2)
+    if outliers:
+        pc2 = pc2.copy()
+        pc2[:outliers] += rng.uniform(1, 3, (outliers, 3)).astype(np.float32)
+    return r, t, s, pc1.astype(np.float32), pc2, uv1, uv2
+
+
+def run_sim3(pc1, pc2, uv1, uv2, fix_scale=False, seed=0):
+    n = len(pc1)
+    ones = jnp.asarray(np.ones(n, np.float32))
+    return {
+        k: np.asarray(v)
+        for k, v in sim3.sim3_ransac(
+            jnp.asarray(pc1), jnp.asarray(pc2), jnp.asarray(uv1), jnp.asarray(uv2),
+            ones, ones, jnp.asarray(np.ones(n, bool)),
+            FX, FY, CX, CY, seed, fix_scale=fix_scale,
+        ).items()
+    }
+
+
+def test_horn_exact():
+    r_gt, t_gt, s_gt, pc1, pc2, uv1, uv2 = make_sim3_problem()
+    r, t, s = sim3.horn_sim3(
+        jnp.asarray(pc2), jnp.asarray(pc1), jnp.asarray(np.ones(len(pc1), np.float32))
+    )
+    np.testing.assert_allclose(np.asarray(r), r_gt, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t), t_gt, atol=1e-3)
+    np.testing.assert_allclose(float(s), s_gt, atol=1e-4)
+
+
+def test_sim3_ransac_outliers():
+    r_gt, t_gt, s_gt, pc1, pc2, uv1, uv2 = make_sim3_problem(outliers=30, seed=1)
+    res = run_sim3(pc1, pc2, uv1, uv2)
+    assert res["n_inliers"] > 80
+    assert res["inliers"][:30].mean() < 0.2
+    np.testing.assert_allclose(res["r"], r_gt, atol=2e-3)
+    np.testing.assert_allclose(float(res["s"]), s_gt, rtol=2e-3)
+
+
+def test_sim3_fix_scale():
+    r_gt, t_gt, s_gt, pc1, pc2, uv1, uv2 = make_sim3_problem(s=1.0, seed=2)
+    res = run_sim3(pc1, pc2, uv1, uv2, fix_scale=True)
+    assert float(res["s"]) == 1.0
+    np.testing.assert_allclose(res["r"], r_gt, atol=1e-3)
