@@ -1,0 +1,105 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from anyfeature_vslam_tpu.place_recognition import vocab as vocab_mod
+from anyfeature_vslam_tpu.place_recognition.database import KeyFrameDatabase
+
+
+@pytest.fixture(scope="module")
+def trained_vocab():
+    rng = np.random.default_rng(0)
+    # 20 "scenes" of correlated descriptors
+    protos = rng.integers(0, 2, (20, 256)).astype(np.uint8)
+    descs = []
+    for p in protos:
+        for _ in range(200):
+            d = p.copy()
+            flips = rng.integers(0, 256, 40)
+            d[flips] ^= 1
+            descs.append(d)
+    descs = np.stack(descs)
+    return vocab_mod.train_vocabulary(descs, branching=16, depth=2, iters=5), protos
+
+
+def make_frame(proto, rng, n=100, noise=40):
+    out = np.tile(proto, (n, 1))
+    for i in range(n):
+        flips = rng.integers(0, 256, noise)
+        out[i, flips] ^= 1
+    return out.astype(np.uint8)
+
+
+def test_transform_deterministic_and_in_range(trained_vocab):
+    vocab, protos = trained_vocab
+    rng = np.random.default_rng(1)
+    d = make_frame(protos[0], rng)
+    w1 = np.asarray(vocab_mod.transform_words(vocab, jnp.asarray(d), jnp.ones(len(d), bool)))
+    w2 = np.asarray(vocab_mod.transform_words(vocab, jnp.asarray(d), jnp.ones(len(d), bool)))
+    np.testing.assert_array_equal(w1, w2)
+    assert (w1 >= 0).all() and (w1 < vocab.n_words).all()
+    # invalid slots get -1
+    valid = np.ones(len(d), bool)
+    valid[:10] = False
+    w3 = np.asarray(vocab_mod.transform_words(vocab, jnp.asarray(d), jnp.asarray(valid)))
+    assert (w3[:10] == -1).all()
+
+
+def test_same_scene_scores_higher(trained_vocab):
+    vocab, protos = trained_vocab
+    rng = np.random.default_rng(2)
+    fa1 = make_frame(protos[3], rng)
+    fa2 = make_frame(protos[3], rng)
+    fb = make_frame(protos[7], rng)
+    va1 = vocab_mod.bow_vector(vocab, jnp.asarray(fa1), jnp.ones(100, bool))
+    va2 = vocab_mod.bow_vector(vocab, jnp.asarray(fa2), jnp.ones(100, bool))
+    vb = vocab_mod.bow_vector(vocab, jnp.asarray(fb), jnp.ones(100, bool))
+    s_same = float(vocab_mod.l1_score(va1, jnp.stack([va2]))[0])
+    s_diff = float(vocab_mod.l1_score(va1, jnp.stack([vb]))[0])
+    assert s_same > s_diff + 0.1, (s_same, s_diff)
+
+
+def test_save_load_roundtrip(tmp_path, trained_vocab):
+    vocab, protos = trained_vocab
+    p = str(tmp_path / "voc.npz")
+    vocab.save(p)
+    v2 = vocab_mod.Vocabulary.load(p)
+    rng = np.random.default_rng(3)
+    d = make_frame(protos[5], rng)
+    w1 = np.asarray(vocab_mod.transform_words(vocab, jnp.asarray(d), jnp.ones(100, bool)))
+    w2 = np.asarray(vocab_mod.transform_words(v2, jnp.asarray(d), jnp.ones(100, bool)))
+    np.testing.assert_array_equal(w1, w2)
+
+
+class FakeMap:
+    """Minimal covisibility stub for database tests."""
+
+    def __init__(self, n, edges):
+        self.kf_valid = np.ones(n, bool)
+        self.edges = edges
+
+    def covisible_keyframes(self, kf, min_weight=15, max_n=None):
+        ids = np.asarray(self.edges.get(kf, []), np.int64)
+        return ids, None
+
+
+def test_database_retrieves_revisited_place(trained_vocab):
+    vocab, protos = trained_vocab
+    rng = np.random.default_rng(4)
+    db = KeyFrameDatabase(vocab, max_kf=32)
+    # trajectory through scenes 0..9, then revisit scene 2 as kf 10
+    for kf in range(10):
+        d = make_frame(protos[kf], rng)
+        db.add(kf, d, np.ones(100, bool))
+    d_re = make_frame(protos[2], rng)
+    db.add(10, d_re, np.ones(100, bool))
+    # covisibility: consecutive kfs connected
+    edges = {k: [k - 1, k + 1] for k in range(11)}
+    edges[10] = [9]
+    fmap = FakeMap(11, edges)
+    cands = db.detect_loop_candidates(10, fmap, min_score=0.01)
+    assert 2 in cands, cands
+    assert 9 not in cands  # covisible excluded
+
+    reloc = db.detect_relocalization_candidates(d_re, np.ones(100, bool), fmap)
+    assert (2 in reloc) or (10 in reloc)
