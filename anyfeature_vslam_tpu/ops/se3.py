@@ -239,3 +239,79 @@ def sim3_inverse(r, t, s):
 def sim3_transform(r, t, s, pts):
     """Apply Sim3 (sR x + t) to (..., N, 3)."""
     return s[..., None, None] * (pts @ jnp.swapaxes(r, -1, -2)) + t[..., None, :]
+
+
+def sim3_compose(a, b):
+    """Compose Sim3 triples (r, t, s): a o b (apply b first)."""
+    ra, ta, sa = a
+    rb, tb, sb = b
+    r = ra @ rb
+    t = sa[..., None] * (ra @ tb[..., None])[..., 0] + ta
+    return r, t, sa * sb
+
+
+def sim3_inv(a):
+    r, t, s = a
+    return sim3_inverse(r, t, s)
+
+
+def _sim3_w(phi, sigma):
+    """The Sim3 'W' matrix: t = W rho in sim3_exp7 (closed form as in
+    Strasdat's thesis / Sophus Sim3, handled smoothly near zero)."""
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(jnp.clip(theta2, 1e-24, None))
+    s = jnp.exp(sigma)
+    om = hat(phi)
+    om2 = om @ om
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), om.shape)
+
+    small_sigma = jnp.abs(sigma) < 1e-5
+    small_theta = theta2 < 1e-10
+    safe_sigma = jnp.where(small_sigma, jnp.ones_like(sigma), sigma)
+    safe_theta = jnp.where(small_theta, jnp.ones_like(theta), theta)
+
+    # sigma ~ 0 branch
+    a_s0 = jnp.where(small_theta, 0.5 * jnp.ones_like(theta), (1.0 - jnp.cos(safe_theta)) / (safe_theta * safe_theta))
+    b_s0 = jnp.where(small_theta, jnp.ones_like(theta) / 6.0, (safe_theta - jnp.sin(safe_theta)) / (safe_theta ** 3))
+    c_s0 = jnp.ones_like(sigma)
+
+    # general sigma branch
+    c_g = (s - 1.0) / safe_sigma
+    # theta ~ 0 sub-branch
+    a_g_t0 = ((safe_sigma - 1.0) * s + 1.0) / (safe_sigma * safe_sigma)
+    b_g_t0 = ((0.5 * safe_sigma * safe_sigma - safe_sigma + 1.0) * s - 1.0) / (safe_sigma ** 3)
+    aa = s * jnp.sin(safe_theta)
+    bb = s * jnp.cos(safe_theta)
+    cc = theta2 + sigma * sigma
+    cc = jnp.where(cc < 1e-24, 1.0, cc)
+    a_g = (aa * safe_sigma + (1.0 - bb) * safe_theta) / (safe_theta * cc)
+    b_g = (c_g - ((bb - 1.0) * safe_sigma + aa * safe_theta) / cc) / (safe_theta * safe_theta)
+    a_gen = jnp.where(small_theta, a_g_t0, a_g)
+    b_gen = jnp.where(small_theta, b_g_t0, b_g)
+
+    a_coef = jnp.where(small_sigma, a_s0, a_gen)
+    b_coef = jnp.where(small_sigma, b_s0, b_gen)
+    c_coef = jnp.where(small_sigma, c_s0, c_g)
+    return (
+        c_coef[..., None, None] * eye
+        + a_coef[..., None, None] * om
+        + b_coef[..., None, None] * om2
+    )
+
+
+def sim3_exp7(xi):
+    """(..., 7) tangent (rho, phi, sigma) -> Sim3 triple (r, t, s)."""
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    r = so3_exp(phi)
+    w = _sim3_w(phi, sigma)
+    t = (w @ rho[..., None])[..., 0]
+    return r, t, jnp.exp(sigma)
+
+
+def sim3_log7(r, t, s):
+    """Sim3 triple -> (..., 7) tangent (rho, phi, sigma)."""
+    sigma = jnp.log(jnp.clip(s, 1e-12, None))
+    phi = so3_log(r)
+    w = _sim3_w(phi, sigma)
+    rho = jnp.linalg.solve(w, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
