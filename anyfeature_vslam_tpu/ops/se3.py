@@ -66,12 +66,14 @@ def so3_exp(phi):
 def so3_log(r):
     """(..., 3, 3) rotation matrix -> (..., 3) rotation vector.
 
-    Stable up to theta close to pi (uses the symmetric-part fallback there).
+    Gradient-safe at the identity (theta from atan2 of the antisymmetric
+    part, not arccos, whose derivative blows up at trace=3 — pose-graph
+    Jacobians autodiff through this at near-zero edge errors). Stable up to
+    theta close to pi via the symmetric-part fallback.
     """
     trace = r[..., 0, 0] + r[..., 1, 1] + r[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Antisymmetric part / (2 sin theta) gives the axis for generic theta.
+    # Antisymmetric part: |w| = 2 sin(theta).
     w = jnp.stack(
         [
             r[..., 2, 1] - r[..., 1, 2],
@@ -80,12 +82,16 @@ def so3_log(r):
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
+    wn2 = jnp.sum(w * w, axis=-1)
+    small = wn2 < 1e-12
+    safe_wn = jnp.sqrt(jnp.where(small, jnp.ones_like(wn2), wn2))
+    sin_theta = 0.5 * safe_wn
+    theta = jnp.arctan2(sin_theta, cos_theta)
+    near_pi = cos_theta < -0.999
     safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_theta), sin_theta)
     generic = w * (theta / (2.0 * safe_sin))[..., None]
-    taylor = w * (0.5 + theta * theta / 12.0)[..., None]
+    # near identity phi = w/2 exactly to first order (grads flow through w)
+    taylor = w * 0.5
     # Near pi: axis from the diagonal of R + I (outer product 2*(1+cos) a a^T).
     diag = jnp.stack([r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]], axis=-1)
     axis2 = jnp.clip((diag - cos_theta[..., None]) / jnp.clip(1.0 - cos_theta[..., None], 1e-8, None), 0.0, None)

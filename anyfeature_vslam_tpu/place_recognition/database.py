@@ -33,12 +33,22 @@ class KeyFrameDatabase:
         self.has_word = np.zeros((max_kf, vocabulary.n_words), bool)
         self.present = np.zeros(max_kf, bool)
 
+    def compute_bow(self, desc_bits, valid):
+        """(bow vector, word-presence mask) for a frame/keyframe."""
+        words = np.asarray(
+            vocab_mod.transform_words(self.vocab, jnp.asarray(desc_bits), jnp.asarray(valid))
+        )
+        bow = np.asarray(
+            vocab_mod.bow_from_words(jnp.asarray(words), jnp.asarray(self.vocab.idf))
+        )
+        mask = np.zeros(self.vocab.n_words, bool)
+        mask[words[words >= 0]] = True
+        return bow, mask
+
     def add(self, kf: int, desc_bits, valid):
-        words = np.asarray(vocab_mod.transform_words(self.vocab, jnp.asarray(desc_bits), jnp.asarray(valid)))
-        bow = np.asarray(vocab_mod.bow_from_words(jnp.asarray(words), jnp.asarray(self.vocab.idf)))
+        bow, mask = self.compute_bow(desc_bits, valid)
         self.bow[kf] = bow
-        self.has_word[kf] = False
-        self.has_word[kf, words[words >= 0]] = True
+        self.has_word[kf] = mask
         self.present[kf] = True
 
     def erase(self, kf: int):
@@ -76,25 +86,29 @@ class KeyFrameDatabase:
         return out
 
     def detect_loop_candidates(self, kf: int, slam_map, min_score: float):
-        """Candidates for closing a loop at `kf` (excludes covisibles)."""
+        """Candidates for closing a loop at `kf` (excludes covisibles).
+
+        The query keyframe need not be in the database yet (the reference
+        also adds it only after detection, LoopClosing.cc:235); its bow is
+        computed from the map's stored descriptors.
+        """
+        bow_q, mask_q = self._kf_bow(kf, slam_map)
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
         exclude = np.zeros(self.max_kf, bool)
         exclude[kf] = True
         exclude[cov] = True
         covis_groups = self._covis_groups(slam_map)
-        return self._query(
-            self.bow[kf], self.has_word[kf], exclude, min_score, covis_groups
+        return self._query(bow_q, mask_q, exclude, min_score, covis_groups)
+
+    def _kf_bow(self, kf: int, slam_map):
+        if self.present[kf]:
+            return self.bow[kf], self.has_word[kf]
+        return self.compute_bow(
+            slam_map.kf_desc_bits[kf], slam_map.kf_feat_valid[kf]
         )
 
     def detect_relocalization_candidates(self, desc_bits, valid, slam_map):
-        words = np.asarray(
-            vocab_mod.transform_words(self.vocab, jnp.asarray(desc_bits), jnp.asarray(valid))
-        )
-        bow_q = np.asarray(
-            vocab_mod.bow_from_words(jnp.asarray(words), jnp.asarray(self.vocab.idf))
-        )
-        mask = np.zeros(self.vocab.n_words, bool)
-        mask[words[words >= 0]] = True
+        bow_q, mask = self.compute_bow(desc_bits, valid)
         exclude = np.zeros(self.max_kf, bool)
         covis_groups = self._covis_groups(slam_map)
         return self._query(bow_q, mask, exclude, 0.0, covis_groups)
@@ -112,9 +126,11 @@ class KeyFrameDatabase:
         """Reference DetectLoop: minScore = min BoW score between the new KF
         and its covisibles (LoopClosing.cc:136-151)."""
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
+        cov = [int(c) for c in cov if self.present[c]]
         if len(cov) == 0:
-            return 1.0
+            return 0.0
+        bow_q, _ = self._kf_bow(kf, slam_map)
         scores = np.asarray(
-            vocab_mod.l1_score(jnp.asarray(self.bow[kf]), jnp.asarray(self.bow[cov]))
+            vocab_mod.l1_score(jnp.asarray(bow_q), jnp.asarray(self.bow[cov]))
         )
         return float(scores.min())

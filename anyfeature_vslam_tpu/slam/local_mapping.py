@@ -155,8 +155,104 @@ class LocalMapper:
         self._cull_recent_points()
         if self.map.n_keyframes() >= 2:
             self._create_new_points(kf)
+            self._fuse_in_neighbors(kf)
             self._local_ba(kf)
         self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+    def _fuse_in_neighbors(self, kf: int):
+        """Reference SearchInNeighbors (LocalMapping.cc:475-555): project the
+        new KF's points into first/second-order covisible neighbors and vice
+        versa; add missing observations, merge duplicate points (keeping the
+        better-observed one). This is what grows observation counts beyond
+        the triangulation pair — the keyframe decision and culling depend on
+        it."""
+        m = self.map
+        first, _ = m.covisible_keyframes(kf, min_weight=15, max_n=10)
+        targets = []
+        for n1 in first:
+            targets.append(int(n1))
+            second, _ = m.covisible_keyframes(int(n1), min_weight=15, max_n=5)
+            targets.extend(int(x) for x in second)
+        targets = [t for t in dict.fromkeys(targets) if t != kf]
+
+        for kf2 in targets:
+            self._fuse_pair(kf, kf2)   # kf's points into kf2
+            self._fuse_pair(kf2, kf)   # kf2's points into kf
+        mm = m.kf_matches[kf]
+        m.update_point_stats(np.unique(mm[mm >= 0]))
+
+    def _fuse_pair(self, src_kf: int, dst_kf: int):
+        """Project src's map points into dst; fuse (reference Fuse,
+        src/FeatureMatcher.cc:794-942: radius 3*predictedSize, best match
+        <= TH_LOW, merge or add observation)."""
+        m = self.map
+        mm = m.kf_matches[src_kf]
+        pt_ids = np.unique(mm[mm >= 0])
+        if len(pt_ids) == 0:
+            return
+        # exclude points already observed in dst
+        dst_m = m.kf_matches[dst_kf]
+        dst_pts = set(dst_m[dst_m >= 0].tolist())
+        pt_ids = np.asarray([p for p in pt_ids if p not in dst_pts], np.int64)
+        if len(pt_ids) == 0:
+            return
+        bucket = 256
+        while bucket < len(pt_ids):
+            bucket *= 2
+        pad = bucket - len(pt_ids)
+        idx = np.concatenate([pt_ids, np.zeros(pad, np.int64)])
+        pad_valid = np.concatenate([np.ones(len(pt_ids), bool), np.zeros(pad, bool)])
+
+        bounds_lo = jnp.asarray(np.array([0.0, 0.0], np.float32))
+        bounds_hi = jnp.asarray(
+            np.array([self.cam.width, self.cam.height], np.float32)
+        )
+        uv, dist, viewcos, pred_size, visible = frame_ops.project_points(
+            jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
+            jnp.asarray(m.pt_min_dist[idx]), jnp.asarray(m.pt_max_dist[idx]),
+            jnp.asarray(m.pt_ref_size[idx]), jnp.asarray(m.pt_ref_dist[idx]),
+            jnp.asarray(m.kf_pose[dst_kf]),
+            float(self.cam.fx), float(self.cam.fy), float(self.cam.cx), float(self.cam.cy),
+            bounds_lo, bounds_hi,
+        )
+        visible = np.asarray(visible) & pad_valid
+        if not visible.any():
+            return
+        res = {
+            k: np.asarray(v)
+            for k, v in frame_ops.match_by_projection(
+                uv, pred_size, viewcos,
+                jnp.asarray(m.pt_desc_bits[idx]), jnp.asarray(visible),
+                jnp.asarray(m.kf_uv[dst_kf]), jnp.asarray(m.kf_desc_bits[dst_kf]),
+                jnp.asarray(m.kf_size[dst_kf]), jnp.asarray(m.kf_feat_valid[dst_kf]),
+                3.0, self.match_th, None,
+            ).items()
+        }
+        src = np.nonzero(res["valid"])[0]
+        if len(src) == 0:
+            return
+        counts = m.point_observation_counts()
+        merges_keep, merges_drop = [], []
+        for s in src:
+            pt = int(idx[s])
+            slot = int(res["idx"][s])
+            existing = int(m.kf_matches[dst_kf][slot])
+            if existing >= 0:
+                if existing == pt or not m.pt_valid[existing]:
+                    continue
+                # keep the point with more observations (reference
+                # FeatureMatcher.cc:919-931)
+                if counts[existing] >= counts[pt]:
+                    merges_keep.append(existing)
+                    merges_drop.append(pt)
+                else:
+                    merges_keep.append(pt)
+                    merges_drop.append(existing)
+            else:
+                m.kf_matches[dst_kf][slot] = pt
+        if merges_keep:
+            m.merge_points(merges_keep, merges_drop)
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self):

@@ -118,6 +118,36 @@ class SlamMap:
             if mask.any():
                 m[mask] = -1
 
+    def merge_points(self, keep_ids, drop_ids):
+        """Replace each drop point with its keep point everywhere (reference
+        MapPoint::Replace, src/MapPoint.cc:213-252). Deduplicates slots."""
+        remap = {}
+        for keep, drop in zip(keep_ids, drop_ids):
+            keep, drop = int(keep), int(drop)
+            if keep == drop or not self.pt_valid[keep] or not self.pt_valid[drop]:
+                continue
+            remap[drop] = keep
+        if not remap:
+            return
+        drop_arr = np.asarray(list(remap.keys()))
+        keep_arr = np.asarray(list(remap.values()))
+        lut = np.arange(self.max_pt)
+        lut[drop_arr] = keep_arr
+        for kf in self.keyframe_ids():
+            mm = self.kf_matches[kf]
+            sel = mm >= 0
+            mm[sel] = lut[mm[sel]]
+            seen = {}
+            for slot in np.nonzero(sel)[0]:
+                p = mm[slot]
+                if p in seen:
+                    mm[slot] = -1
+                else:
+                    seen[p] = slot
+        self.pt_found[keep_arr] += self.pt_found[drop_arr]
+        self.pt_visible[keep_arr] += self.pt_visible[drop_arr]
+        self.pt_valid[drop_arr] = False
+
     # ----------------------------------------------------------- structure
     def observations_of_points(self, pt_ids):
         """COO (kf, slot, pt) observation triples for the given points."""

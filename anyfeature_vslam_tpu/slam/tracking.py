@@ -106,7 +106,13 @@ class Tracker:
         # trajectory: per frame (ts, T_cur_ref, ref_kf, lost)
         self.trajectory: list = []
         self.on_new_keyframe = None   # callback(kf_id) -> local mapping
-        self.stats = dict(tracked_frames=0, lost_frames=0, resets=0)
+        self.database = None          # KeyFrameDatabase (set once vocab ready)
+        self.debug = False
+        self.stats = dict(tracked_frames=0, lost_frames=0, resets=0, relocalizations=0)
+
+    def _dbg(self, msg):
+        if self.debug:
+            print(f"    [track] {msg}", flush=True)
 
     # ------------------------------------------------------------ frontend
     def _extract(self, img: np.ndarray, init: bool) -> dict:
@@ -137,8 +143,13 @@ class Tracker:
                 if self.map.n_keyframes() <= 5:
                     self._reset()
         else:
-            self.stats["lost_frames"] += 1
-            # relocalization lands with the BoW database (later round)
+            if self._relocalization(frame):
+                self.state = TrackState.OK
+                self.stats["relocalizations"] += 1
+                self.velocity = None
+                self.last = frame
+            else:
+                self.stats["lost_frames"] += 1
 
         if frame.pose is not None and self.ref_kf >= 0:
             t_ref = self.map.kf_pose[self.ref_kf]
@@ -182,6 +193,7 @@ class Tracker:
             )
         )
         n_matches = int(res["valid"].sum())
+        self._dbg(f"init: {n_matches} matches vs ref frame {ref.frame_id}")
         if n_matches < cfg.min_init_matches:
             self.init_ref = None  # reference Tracking.cc:469-476
             return
@@ -193,6 +205,10 @@ class Tracker:
                 jnp.asarray(res["valid"]), jnp.asarray(np.asarray(self.cam.k_matrix)),
                 cfg.seed,
             )
+        )
+        self._dbg(
+            f"init 2-view: success={bool(init['success'])} H={bool(init['used_homography'])} "
+            f"rh={float(init['rh']):.2f} n_good={int(init['n_good'])}"
         )
         if not bool(init["success"]):
             return
@@ -362,6 +378,7 @@ class Tracker:
             if int(res["valid"].sum()) >= cfg.min_motion_matches:
                 break
         if int(res["valid"].sum()) < cfg.min_motion_matches:
+            self._dbg(f"motion-model: only {int(res['valid'].sum())} matches")
             return False
         # build frame matches: frame kp slot -> pt id
         matches = np.full(self.map.n_feat, -1, np.int32)
@@ -370,6 +387,7 @@ class Tracker:
         pose, matches, n_in = self._pose_optimize(frame, matches, pred_pose)
         frame.pose = pose
         frame.matches = matches
+        self._dbg(f"motion-model: {int(res['valid'].sum())} matches -> {n_in} inliers")
         return n_in >= cfg.min_track_inliers
 
     def _track_reference_kf(self, frame: FrameData) -> bool:
@@ -389,6 +407,7 @@ class Tracker:
             )
         )
         if int(res["valid"].sum()) < 15:  # reference needs >=15 BoW matches
+            self._dbg(f"ref-kf: only {int(res['valid'].sum())} matches")
             return False
         matches = np.where(
             res["valid"], self.map.kf_matches[kf][res["idx"]], -1
@@ -397,6 +416,7 @@ class Tracker:
         pose, matches, n_in = self._pose_optimize(frame, matches, init_pose)
         frame.pose = pose
         frame.matches = matches
+        self._dbg(f"ref-kf: {int(res['valid'].sum())} matches -> {n_in} inliers")
         return n_in >= cfg.min_track_inliers
 
     def _local_map_ids(self, frame: FrameData):
@@ -479,7 +499,70 @@ class Tracker:
         self.n_inliers = n_in
         found = matches[matches >= 0]
         self.map.pt_found[found] += 1
+        self._dbg(f"local-map: {len(cand)} cands -> {n_in} inliers")
         return n_in >= cfg.min_local_inliers
+
+    # ----------------------------------------------------- relocalization
+    def _relocalization(self, frame: FrameData) -> bool:
+        """Reference Relocalization (Tracking.cc:1146-1309): BoW candidates
+        -> per-candidate descriptor matching (>=15) -> RANSAC-EPnP ->
+        pose optimization; success needs >=50 inliers after local-map
+        refinement."""
+        if self.database is None:
+            return False
+        from anyfeature_vslam_tpu.ops import pnp as pnp_ops
+
+        cands = self.database.detect_relocalization_candidates(
+            frame.feats["desc_bits"], frame.feats["valid"], self.map
+        )
+        for kf in cands:
+            kf = int(kf)
+            if not self.map.kf_valid[kf]:
+                continue
+            kf_has_pt = self.map.kf_matches[kf] >= 0
+            res = _np(
+                frame_ops.match_descriptors_global(
+                    jnp.asarray(frame.feats["desc_bits"]), jnp.asarray(frame.feats["valid"]),
+                    jnp.asarray(frame.feats["angle"]),
+                    jnp.asarray(self.map.kf_desc_bits[kf]),
+                    jnp.asarray(kf_has_pt & self.map.kf_feat_valid[kf]),
+                    jnp.asarray(self.map.kf_angle[kf]),
+                    self.cfg.match_th, 0.75,
+                )
+            )
+            slots = np.nonzero(res["valid"])[0]
+            if len(slots) < 15:
+                continue
+            pt_ids = self.map.kf_matches[kf][res["idx"][slots]]
+            pts = self.map.pt_pos[pt_ids]
+            uv = frame.feats["uv_und"][slots]
+            sigma2 = 1.0 / np.clip(frame.feats["inv_sigma2"][slots], 1e-9, None)
+            out = {
+                k: np.asarray(v)
+                for k, v in pnp_ops.pnp_ransac(
+                    jnp.asarray(pts.astype(np.float32)), jnp.asarray(uv),
+                    jnp.asarray(sigma2.astype(np.float32)),
+                    jnp.asarray(np.ones(len(slots), bool)),
+                    float(self.cam.fx), float(self.cam.fy),
+                    float(self.cam.cx), float(self.cam.cy), self.cfg.seed,
+                ).items()
+            }
+            if int(out["n_inliers"]) < 10:
+                continue
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = out["r"]
+            pose[:3, 3] = out["t"]
+            matches = np.full(self.map.n_feat, -1, np.int32)
+            matches[slots[out["inliers"]]] = pt_ids[out["inliers"]]
+            pose, matches, n_in = self._pose_optimize(frame, matches, pose)
+            if n_in < 10:
+                continue
+            frame.pose = pose
+            frame.matches = matches
+            self.ref_kf = kf
+            if self._track_local_map(frame) and self.n_inliers >= 50:
+                return True
+        return False
 
     # --------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame: FrameData) -> bool:

@@ -47,6 +47,8 @@ class System:
         max_pt: int = 60000,
         seed: int = 0,
         fps: float = 30.0,
+        vocabulary_path: str | None = None,
+        enable_loop_closing: bool = True,
     ):
         if feature not in ("orb32",):
             if feature not in FEATURE_SETTINGS:
@@ -72,10 +74,67 @@ class System:
         self.map = SlamMap(max_kf=max_kf, max_pt=max_pt, n_feat=capacity)
         self.tracker = Tracker(cfg, camera, self.map)
         self.local_mapper = LocalMapper(self.map, camera, match_th=match_th)
-        self.tracker.on_new_keyframe = self.local_mapper.process_keyframe
+        self.tracker.on_new_keyframe = self._on_new_keyframe
         self.camera = camera
         self.fps = fps
+        self.match_th = match_th
+        self.seed = seed
         self.frame_times: list[float] = []
+        # place recognition: vocabulary loaded or trained lazily from the map
+        self.vocabulary = vocabulary_path and self._load_vocab(vocabulary_path)
+        self.database = None
+        self.loop_closer = None
+        self.loop_closing_enabled = enable_loop_closing
+        if self.vocabulary is not None:
+            self._enable_place_recognition()
+
+    def _load_vocab(self, path):
+        from .place_recognition.vocab import Vocabulary
+
+        return Vocabulary.load(path)
+
+    def _enable_place_recognition(self):
+        from .place_recognition.database import KeyFrameDatabase
+        from .slam.loop_closing import LoopCloser
+
+        self.database = KeyFrameDatabase(self.vocabulary, self.map.max_kf)
+        self.tracker.database = self.database
+        for kf in self.map.keyframe_ids():
+            self.database.add(
+                int(kf), self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
+            )
+        if self.loop_closing_enabled:
+            self.loop_closer = LoopCloser(
+                self.map, self.camera, self.database,
+                match_th=self.match_th, seed=self.seed,
+            )
+
+    def _maybe_train_vocabulary(self):
+        """Train a vocabulary from accumulated keyframe descriptors once
+        enough data exists (the reference ships offline-trained DBoW2
+        vocabularies per feature; ours are framework-native — see
+        tools/create_vocabulary.py for the offline path)."""
+        if self.vocabulary is not None or self.map.n_keyframes() < 4:
+            return
+        from .place_recognition.vocab import train_vocabulary
+
+        descs = []
+        for kf in self.map.keyframe_ids():
+            v = self.map.kf_feat_valid[kf]
+            descs.append(self.map.kf_desc_bits[kf][v])
+        descs = np.concatenate(descs)
+        if len(descs) < 2000:
+            return
+        self.vocabulary = train_vocabulary(descs, branching=32, depth=2, iters=5, seed=self.seed)
+        self._enable_place_recognition()
+
+    def _on_new_keyframe(self, kf: int):
+        self.local_mapper.process_keyframe(kf)
+        self._maybe_train_vocabulary()
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(kf)
+        elif self.database is not None:
+            self.database.add(kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf])
 
     def track_monocular(self, img: np.ndarray, ts: float) -> TrackState:
         t0 = time.perf_counter()
@@ -91,6 +150,7 @@ class System:
         tum_txt = os.path.join(out_dir, f"{exp_id}_FrameTrajectory_TUM.txt")
         trajectory.save_frame_trajectory_tum(tum_txt, self.tracker.trajectory, self.map)
         stats = dict(self.tracker.stats)
+        stats["loopClosures"] = self.loop_closer.n_loops_closed if self.loop_closer else 0
         if self.frame_times:
             stats["medianTrackingTime_s"] = round(float(np.median(self.frame_times)), 4)
             stats["meanTrackingTime_s"] = round(float(np.mean(self.frame_times)), 4)

@@ -1,0 +1,154 @@
+"""Loop-closing integration on a CONSTRUCTED map (no image pipeline):
+build a circular keyframe trajectory with shared descriptors at the loop
+ends, inject odometry-style drift, and verify LoopCloser detects the loop,
+estimates the Sim3, and reduces the end-pose drift after essential-graph
+optimization + global BA."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from anyfeature_vslam_tpu.ops import se3
+from anyfeature_vslam_tpu.ops.camera import CameraParams
+from anyfeature_vslam_tpu.place_recognition import vocab as vocab_mod
+from anyfeature_vslam_tpu.place_recognition.database import KeyFrameDatabase
+from anyfeature_vslam_tpu.slam.loop_closing import LoopCloser
+from anyfeature_vslam_tpu.slam.map_state import SlamMap
+
+FX = FY = 300.0
+CX, CY = 160.0, 120.0
+N_FEAT = 256
+
+
+def build_loop_map(n_kf=26, drift_deg=8.0, seed=0):
+    """Keyframes on a circle. Points live in "tracks" observed by 3
+    consecutive KFs (giving a covisibility chain); the two final KFs
+    additionally re-observe DUPLICATES of KF0/KF1's points (same
+    descriptors, drift-displaced positions) — the duplicated structure a
+    real pre-closure map contains. A smooth Sim3 drift corrupts the second
+    half; the map stays locally consistent, so only the loop discrepancy
+    carries the error signal."""
+    rng = np.random.default_rng(seed)
+    cam = CameraParams.create(fx=FX, fy=FY, cx=CX, cy=CY, width=320, height=240)
+    m = SlamMap(max_kf=32, max_pt=8000, n_feat=N_FEAT)
+
+    def gt_pose(i):
+        ang = 2 * np.pi * i / (n_kf - 3)
+        c = np.array([2.0 * np.cos(ang), 2.0 * np.sin(ang), 0.0])
+        zax = np.array([np.cos(ang), np.sin(ang), 0.0])
+        xax = np.array([-np.sin(ang), np.cos(ang), 0.0])
+        yax = np.cross(zax, xax)
+        t_wc = np.eye(4)
+        t_wc[:3, :3] = np.stack([xax, yax, zax], axis=1)
+        t_wc[:3, 3] = c
+        return np.linalg.inv(t_wc).astype(np.float32)
+
+    def drift(i):
+        """Sim3 drift transform of reference i (applied to poses+points)."""
+        if i <= n_kf // 2:
+            return np.eye(4, dtype=np.float32)
+        frac = (i - n_kf // 2) / (n_kf // 2)
+        ang = np.radians(drift_deg) * frac
+        xi = np.array([0.08 * frac, 0.02 * frac, 0, 0, 0, ang], np.float32)
+        return np.asarray(se3.se3_exp(jnp.asarray(xi)))
+
+    def drifted_pose(i):
+        return gt_pose(i) @ np.linalg.inv(drift(i))
+
+    # tracks: 60 new points per KF (except the revisit KFs), each observed
+    # by KFs i .. i+2
+    n_new = 60
+    track_pts = {}   # ref kf -> (ids, pw_stored)
+    per_kf_obs = {i: [] for i in range(n_kf)}  # (pt_id, uv) tuples
+    for i in range(n_kf - 3):
+        t_gt = gt_pose(i)
+        t_wc_gt = np.linalg.inv(t_gt)
+        uv0 = rng.uniform([20, 20], [300, 220], (n_new, 2))
+        z = rng.uniform(3.0, 5.0, n_new)
+        pc = np.stack([(uv0[:, 0] - CX) / FX * z, (uv0[:, 1] - CY) / FY * z, z], -1)
+        pw_true = pc @ t_wc_gt[:3, :3].T + t_wc_gt[:3, 3]
+        d = drift(i)
+        pw_stored = pw_true @ d[:3, :3].T + d[:3, 3]
+        descs = rng.integers(0, 2, (n_new, 256)).astype(np.uint8)
+        ids = m.add_points(pw_stored.astype(np.float32), descs,
+                           ref_kf=i, ref_sizes=np.ones(n_new, np.float32))
+        track_pts[i] = (ids, pw_stored, descs)
+        for k in range(i, min(i + 4, n_kf - 3)):
+            per_kf_obs[k].append((ids, pw_stored, descs))
+
+    # revisit KFs: duplicates of KF0 / KF1 points + continuation of the
+    # last regular tracks (keeps the chain covisible)
+    for j, i in enumerate((n_kf - 3, n_kf - 2, n_kf - 1)):
+        src_ids, src_pw, src_descs = track_pts[j]  # KF0 / KF1 points
+        d = drift(i)
+        pw_dup = src_pw @ d[:3, :3].T + d[:3, 3]
+        dup_ids = m.add_points(pw_dup.astype(np.float32), src_descs,
+                               ref_kf=i, ref_sizes=np.ones(len(src_pw), np.float32))
+        per_kf_obs[i].append((dup_ids, pw_dup, src_descs))
+        for back in (n_kf - 4, n_kf - 5, n_kf - 6):
+            ids_b, pw_b, descs_b = track_pts[back]
+            per_kf_obs[i].append((ids_b, pw_b, descs_b))
+
+    for i in range(n_kf):
+        t_d = drifted_pose(i)
+        feats = dict(
+            uv_und=np.zeros((N_FEAT, 2), np.float32),
+            desc_bits=np.zeros((N_FEAT, 256), np.uint8),
+            octave=np.zeros(N_FEAT, np.int32),
+            size=np.ones(N_FEAT, np.float32),
+            angle=np.zeros(N_FEAT, np.float32),
+            inv_sigma2=np.ones(N_FEAT, np.float32),
+            valid=np.zeros(N_FEAT, bool),
+        )
+        matches = np.full(N_FEAT, -1, np.int32)
+        slot = 0
+        for ids, pw, descs in per_kf_obs[i]:
+            pc = pw @ t_d[:3, :3].T + t_d[:3, 3]
+            vis = pc[:, 2] > 0.5
+            uv = np.stack(
+                [FX * pc[:, 0] / np.clip(pc[:, 2], 1e-6, None) + CX,
+                 FY * pc[:, 1] / np.clip(pc[:, 2], 1e-6, None) + CY], -1)
+            vis &= (uv[:, 0] > 0) & (uv[:, 0] < 320) & (uv[:, 1] > 0) & (uv[:, 1] < 240)
+            for t_idx in np.nonzero(vis)[0]:
+                if slot >= N_FEAT:
+                    break
+                feats["uv_und"][slot] = uv[t_idx]
+                feats["desc_bits"][slot] = descs[t_idx]
+                feats["valid"][slot] = True
+                matches[slot] = ids[t_idx]
+                slot += 1
+        m.add_keyframe(t_d, ts=i / 30.0, frame_id=i, feats=feats, matches=matches)
+
+    m.update_point_stats()
+    return cam, m, gt_pose
+
+
+def test_loop_detected_and_corrected():
+    cam, m, gt_pose = build_loop_map()
+    n_kf = m.n_keyframes()
+
+    # vocabulary from the map's descriptors
+    descs = np.concatenate(
+        [m.kf_desc_bits[k][m.kf_feat_valid[k]] for k in m.keyframe_ids()]
+    )
+    voc = vocab_mod.train_vocabulary(descs, branching=16, depth=2, iters=4)
+    db = KeyFrameDatabase(voc, m.max_kf)
+    closer = LoopCloser(m, cam, db, match_th=75.0)
+
+    drift_before = _end_drift(m, gt_pose, n_kf)
+    closed = False
+    for kf in range(n_kf):
+        closed |= closer.process_keyframe(kf)
+    assert closed, "loop was not closed"
+    drift_after = _end_drift(m, gt_pose, n_kf)
+    assert drift_after < 0.6 * drift_before, (drift_before, drift_after)
+
+
+def _end_drift(m, gt_pose, n_kf):
+    """Pose discrepancy of the final keyframes vs ground truth."""
+    errs = []
+    for i in (n_kf - 2, n_kf - 1):
+        t_est = m.kf_pose[i]
+        rel = t_est @ np.linalg.inv(gt_pose(i))
+        errs.append(np.abs(np.asarray(se3.se3_log(jnp.asarray(rel)))).max())
+    return max(errs)
