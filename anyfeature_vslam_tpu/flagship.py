@@ -43,7 +43,7 @@ def tracking_step(
     Returns (pose, n_inliers, feats_dict).
     """
     feats = extract_orb(image, cfg, height, width)
-    dist = matching.hamming_matrix(prev_bits, feats["desc_bits"])
+    dist = matching.descriptor_distance_matrix(prev_bits, feats["desc_bits"])
     radius = 15.0 * matching.RADIUS_SCALE * jnp.clip(prev_size, 1.0, MAX_SIZE)
     mask = (
         matching.window_mask(prev_uv_proj, feats["xy"], radius)

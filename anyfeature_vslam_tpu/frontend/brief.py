@@ -24,25 +24,27 @@ N_BITS = 256
 PATCH_SIGMA = 31.0 / 5.0  # classic BRIEF Gaussian spread
 _COORD_CLIP = 13.0  # keep pattern inside the 31x31 patch pre-rotation
 
-def _make_pattern():
-    rng = np.random.default_rng(20240607)
-    pts = rng.normal(0.0, PATCH_SIGMA, size=(N_BITS, 2, 2))
+def _make_pattern(n_bits: int, seed: int = 20240607):
+    rng = np.random.default_rng(seed + n_bits)
+    pts = rng.normal(0.0, PATCH_SIGMA, size=(n_bits, 2, 2))
     return np.clip(pts, -_COORD_CLIP, _COORD_CLIP).astype(np.float32)
 
 
 # plain numpy constants (lazily created jnp arrays would leak tracers when
-# the first call happens under a jit trace)
-_PATTERN = _make_pattern()  # (256, 2, 2) float32: [bit, endpoint, (x, y)]
+# the first call happens under a jit trace). Widths cover the reference's
+# binary families: 256=orb32, 384=brisk48, 488=akaze61, 512=anyFeatBin
+# (FREAK-length).
+_PATTERNS = {n: _make_pattern(n) for n in (256, 384, 488, 512)}
 
 
-def pattern():
-    return _PATTERN
+def pattern(n_bits: int = N_BITS):
+    return _PATTERNS[n_bits]
 
 
 _BIT_WEIGHTS = (1 << np.arange(8)).astype(np.uint8)
 
 
-def describe(img_blur, xy, angle, valid):
+def describe(img_blur, xy, angle, valid, n_bits: int = N_BITS):
     """Compute packed descriptors.
 
     Args:
@@ -50,13 +52,14 @@ def describe(img_blur, xy, angle, valid):
       xy: (N, 2) float32 keypoint (x, y) level coordinates.
       angle: (N,) float32 orientation radians.
       valid: (N,) bool.
+      n_bits: descriptor width (256/384/488/512 for the binary families).
 
     Returns:
-      desc_packed: (N, 32) uint8.
-      desc_bits: (N, 256) uint8 in {0, 1} (for matmul Hamming matching).
+      desc_packed: (N, n_bits // 8) uint8.
+      desc_bits: (N, n_bits) uint8 in {0, 1} (for matmul Hamming matching).
     """
     h, w = img_blur.shape
-    pat = pattern()  # (256, 2, 2)
+    pat = pattern(n_bits)  # (n_bits, 2, 2)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
     # rotate: [x', y'] = [x ca - y sa, x sa + y ca]
     px, py = pat[..., 0], pat[..., 1]  # (256, 2)
@@ -66,10 +69,11 @@ def describe(img_blur, xy, angle, valid):
     ay = jnp.clip(jnp.round(ry + xy[:, None, None, 1]).astype(jnp.int32), 0, h - 1)
     flat = img_blur.reshape(-1)
     vals = flat[ay * w + ax]  # (N, 256, 2)
-    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (N, 256)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint8)  # (N, n_bits)
     bits = jnp.where(valid[:, None], bits, 0)
     packed = jnp.sum(
-        bits.reshape(-1, 32, 8) * _BIT_WEIGHTS[None, None, :], axis=-1, dtype=jnp.uint8
+        bits.reshape(-1, n_bits // 8, 8) * _BIT_WEIGHTS[None, None, :],
+        axis=-1, dtype=jnp.uint8,
     )
     return packed, bits
 

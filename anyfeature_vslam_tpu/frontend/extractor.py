@@ -1,19 +1,32 @@
-"""Feature-extraction orchestration: the TPU-native FeatureExtractor.
+"""Feature-extraction orchestration: the TPU-native FeatureExtractor family.
 
 Mirrors the reference template pipeline (detect -> spread/filter -> orient ->
 describe -> merge levels -> normalized size/sigma; reference
 src/Feature_orb32.cpp:11-18 and src/FeatureExtractor.cpp:111-172) as ONE
-jitted program per image resolution. All outputs are fixed-capacity arrays
-with validity masks.
+jitted program per image resolution, for EVERY feature type (the paper's
+point: the pipeline is feature-agnostic; reference include/Types.h:11-124
+enumerates the 9 types). All outputs are fixed-capacity arrays with
+validity masks.
+
+Feature registry (detector family x descriptor family; approximations are
+documented in frontend/dog.py and frontend/graddesc.py):
+
+  name            detector       descriptor      dist     reference
+  orb32           FAST           bin256          Hamming  src/Feature_orb32.cpp
+  brisk48         FAST (AGAST)   bin384          Hamming  src/Feature_brisk48.cpp
+  akaze61         DoG (nonlin.)  bin488          Hamming  src/Feature_akaze61.cpp
+  anyfeat_bin     FAST (AGAST)   bin512 (FREAK)  Hamming  src/Feature_anyFeatBin.cpp
+  sift128         DoG            grad128         L2SQR    src/Feature_sift128.cpp
+  surf64          DoG (Hessian)  grad64          L2SQR    src/Feature_surf64.cpp
+  kaze64          DoG (nonlin.)  grad64          L2SQR    src/Feature_kaze64.cpp
+  anyfeat_nonbin  FAST (AGAST)   grad48 (VGG)    L2SQR    src/Feature_anyFeatNonBin.cpp
+  r2d2_128        precomputed    float128        L2SQR    src/Feature_r2d2_128.cpp
 
 Per-level feature budgets follow the reference's geometric split
-(src/FeatureExtractor.cpp:97-108): N_l proportional to (1/scaleFactor)^l.
-
-Size / sigma normalization (the paper's feature-agnostic trick, reference
-src/FeatureExtractor.cpp:132-172): keypoint size is mapped into ORB's range
-[1, 1.2^7]; sigma = normalized size, sigma^2 = size^2, information = 1/sigma^2.
-For the native orb32-style extractor size == scaleFactor^octave, so the map
-is the identity.
+(src/FeatureExtractor.cpp:97-108). Size/sigma normalization maps the raw
+per-feature size range into ORB's [1, 1.2^7]
+(src/FeatureExtractor.cpp:132-172): sigma = normalized size,
+information = 1/sigma^2.
 """
 
 from __future__ import annotations
@@ -25,7 +38,34 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import brief, fast, orientation, pyramid, select
+from . import brief, dog, fast, graddesc, orientation, pyramid, select
+
+ORB_MAX_SIZE = 1.2 ** 7
+
+# name -> (detector, descriptor, n_octaves, scale_factor, detect_th, match_th)
+FEATURE_REGISTRY = {
+    "orb32": ("fast", "bin256", 8, 1.2, 20.0, 75.0),
+    "brisk48": ("fast", "bin384", 8, 1.5, 34.0, 120.0),
+    "akaze61": ("dog_norm", "bin488", 8, 1.1892, 0.0005, 128.0),
+    "anyfeat_bin": ("fast", "bin512", 8, 1.2, 20.0, 128.0),
+    "sift128": ("dog", "grad128", 8, 2.0, 10.0, 0.5),
+    "surf64": ("hessian", "grad64", 8, 1.2, 100.0, 0.04),
+    "kaze64": ("dog_norm", "grad64", 8, 1.1892, 0.0005, 0.1),
+    "anyfeat_nonbin": ("fast", "grad48", 8, 1.2, 20.0, 0.5),
+    "r2d2_128": ("precomputed", "float128", 1, 2.0, 1.0, 0.38),
+}
+
+
+def descriptor_dim(descriptor: str) -> int:
+    if descriptor.startswith("bin"):
+        return int(descriptor[3:])
+    if descriptor.startswith("grad"):
+        return int(descriptor[4:])
+    return int(descriptor.replace("float", ""))
+
+
+def descriptor_dtype(descriptor: str):
+    return np.uint8 if descriptor.startswith("bin") else np.float32
 
 
 @dataclass(frozen=True)
@@ -36,6 +76,22 @@ class ExtractorConfig:
     detect_th: float = 20.0
     border: int = 16
     blur_sigma: float = 2.0
+    detector: str = "fast"       # fast | dog | dog_norm | hessian
+    descriptor: str = "bin256"   # bin256/384/488/512 | grad48/64/128
+
+    @staticmethod
+    def for_feature(name: str, n_features: int = 1000) -> "ExtractorConfig":
+        det, desc, n_oct, scale, dth, _ = FEATURE_REGISTRY[name]
+        if det == "precomputed":
+            raise ValueError("r2d2_128 uses the precomputed-feature loader")
+        return ExtractorConfig(
+            n_features=n_features, n_levels=n_oct, scale_factor=scale,
+            detect_th=dth, detector=det, descriptor=desc,
+        )
+
+    @property
+    def desc_dim(self) -> int:
+        return descriptor_dim(self.descriptor)
 
     @property
     def capacity(self) -> int:
@@ -61,57 +117,49 @@ class ExtractorConfig:
         return tuple(self.scale_factor ** l for l in range(self.n_levels))
 
 
-class Features:
-    """Fixed-capacity structure-of-arrays feature set for one frame.
-
-    Fields (all leading dim = capacity):
-      xy:      (N, 2) float32, full-resolution pixel coords
-      uv_und:  (N, 2) float32, undistorted coords (filled by the Frame step)
-      resp:    (N,) float32 detector response
-      octave:  (N,) int32
-      angle:   (N,) float32 radians
-      size:    (N,) float32 normalized size (sigma)
-      sigma2:  (N,) float32
-      inv_sigma2: (N,) float32
-      desc:    (N, 32) uint8 packed descriptor
-      desc_bits: (N, 256) uint8 {0,1}
-      valid:   (N,) bool
-    """
-
-    def __init__(self, **kw):
-        self.__dict__.update(kw)
-
-    def as_dict(self):
-        return dict(self.__dict__)
+def _normalized_size(cfg: ExtractorConfig, octave_f):
+    """Map raw size scale_factor^octave from [1, sf^(n-1)] into ORB's
+    [1, 1.2^7] (reference computeSize, src/FeatureExtractor.cpp:132-142)."""
+    raw = jnp.asarray(cfg.scale_factor, jnp.float32) ** octave_f
+    max_raw = cfg.scale_factor ** (cfg.n_levels - 1)
+    if max_raw <= 1.0 + 1e-6:
+        return jnp.full_like(raw, ORB_MAX_SIZE)
+    return 1.0 + (raw - 1.0) * (ORB_MAX_SIZE - 1.0) / (max_raw - 1.0)
 
 
 @partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def extract_orb(image, cfg: ExtractorConfig, height: int, width: int):
-    """Detect + describe orb32-style features. image: (H, W) float32 0..255."""
+def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
+    """Detect + describe. image: (H, W) float32 0..255. Returns the SoA
+    feature dict (see Frame layout in slam/map_state.py)."""
     image = image.reshape(height, width)
     levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
     budgets = cfg.level_budgets
     scales = cfg.level_scales
 
-    outs = {k: [] for k in ("xy", "resp", "octave", "angle", "desc", "desc_bits", "valid")}
+    outs = {k: [] for k in ("xy", "resp", "octave", "angle", "desc_bits", "valid")}
     for lvl in range(cfg.n_levels):
         img_l = levels[lvl]
-        score = fast.nms3x3(fast.fast_score_map(img_l, cfg.detect_th))
+        if cfg.detector == "fast":
+            score = fast.nms3x3(fast.fast_score_map(img_l, cfg.detect_th))
+        else:
+            score = dog.dog_score_map(img_l, cfg.detect_th, mode=cfg.detector)
         xy, resp, valid = select.select_spread_topk(score, budgets[lvl], cfg.border)
         ang = orientation.ic_angle(img_l, xy)
-        img_blur = pyramid.gaussian_blur(img_l, cfg.blur_sigma)
-        desc, bits = brief.describe(img_blur, xy, ang, valid)
+        if cfg.descriptor.startswith("bin"):
+            img_blur = pyramid.gaussian_blur(img_l, cfg.blur_sigma)
+            _, desc = brief.describe(img_blur, xy, ang, valid, n_bits=cfg.desc_dim)
+        else:
+            desc = graddesc.describe_grad(img_l, xy, ang, valid, dim=cfg.desc_dim)
         outs["xy"].append(xy * scales[lvl])
         outs["resp"].append(resp)
         outs["octave"].append(jnp.full((budgets[lvl],), lvl, dtype=jnp.int32))
         outs["angle"].append(ang)
-        outs["desc"].append(desc)
-        outs["desc_bits"].append(bits)
+        outs["desc_bits"].append(desc)
         outs["valid"].append(valid)
 
     xy = jnp.concatenate(outs["xy"])
     octave = jnp.concatenate(outs["octave"])
-    size = jnp.asarray(cfg.scale_factor, jnp.float32) ** octave.astype(jnp.float32)
+    size = _normalized_size(cfg, octave.astype(jnp.float32))
     sigma2 = size * size
     valid = jnp.concatenate(outs["valid"])
     return dict(
@@ -122,7 +170,12 @@ def extract_orb(image, cfg: ExtractorConfig, height: int, width: int):
         size=size,
         sigma2=sigma2,
         inv_sigma2=jnp.where(valid, 1.0 / sigma2, 0.0),
-        desc=jnp.concatenate(outs["desc"]),
         desc_bits=jnp.concatenate(outs["desc_bits"]),
         valid=valid,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def extract_orb(image, cfg: ExtractorConfig, height: int, width: int):
+    """Back-compat alias used by the flagship/bench path."""
+    return extract_features(image, cfg, height, width)

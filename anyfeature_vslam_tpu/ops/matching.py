@@ -52,6 +52,16 @@ def l2sq_matrix(a, b):
     return jnp.maximum(na[:, None] + nb[None, :] - 2.0 * dot, 0.0)
 
 
+def descriptor_distance_matrix(a, b):
+    """Distance dispatch by descriptor dtype (reference
+    FeatureMatcher::DescriptorDistance, src/FeatureMatcher.cc:1508-1531):
+    uint8 bit-planes -> Hamming, float -> squared L2. Dispatch happens at
+    trace time (dtype is static)."""
+    if a.dtype == jnp.uint8:
+        return hamming_matrix(a, b)
+    return l2sq_matrix(a, b)
+
+
 def best_two(dist, mask):
     """Per-row best and second-best over masked candidates.
 

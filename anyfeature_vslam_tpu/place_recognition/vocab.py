@@ -62,24 +62,34 @@ class Vocabulary:
         )
 
 
-def _kmeans_binary(descs: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
-    """Binary k-means: Hamming assignment, majority-vote centroids."""
+def _dist(a, b):
+    """Pairwise distances, Hamming for uint8 bit-planes, sq-L2 for float."""
+    if a.dtype == np.uint8:
+        return (a[:, None, :] != b[None, :, :]).sum(-1)
+    diff = a[:, None, :].astype(np.float32) - b[None, :, :].astype(np.float32)
+    return (diff * diff).sum(-1)
+
+
+def _kmeans(descs: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """K-means with descriptor-family-appropriate centroids: majority-vote
+    for binary (DBoW2's binary clustering), mean for float."""
+    binary = descs.dtype == np.uint8
     n = len(descs)
     if n <= k:
-        cents = np.zeros((k, descs.shape[1]), np.uint8)
+        cents = np.zeros((k, descs.shape[1]), descs.dtype)
         cents[:n] = descs
         return cents
-    cents = descs[rng.choice(n, k, replace=False)].astype(np.uint8)
-    d = descs.astype(np.int32)
+    cents = descs[rng.choice(n, k, replace=False)].copy()
     for _ in range(iters):
-        dist = (d[:, None, :] != cents[None, :, :]).sum(-1)
-        assign = dist.argmin(1)
+        assign = _dist(descs, cents).argmin(1)
         for j in range(k):
-            members = d[assign == j]
+            members = descs[assign == j]
             if len(members) == 0:
                 cents[j] = descs[rng.integers(n)]
-            else:
+            elif binary:
                 cents[j] = (members.mean(0) > 0.5).astype(np.uint8)
+            else:
+                cents[j] = members.mean(0).astype(descs.dtype)
     return cents
 
 
@@ -87,15 +97,16 @@ def train_vocabulary(
     desc_bits: np.ndarray, branching: int = 32, depth: int = 2,
     iters: int = 8, seed: int = 0, max_train: int = 50000,
 ) -> Vocabulary:
-    """Hierarchical binary k-means (host numpy; offline tool path)."""
+    """Hierarchical k-means (host numpy; offline tool path). Accepts uint8
+    bit-plane descriptors (Hamming) or float descriptors (L2)."""
     rng = np.random.default_rng(seed)
-    descs = np.asarray(desc_bits, np.uint8)
+    descs = np.asarray(desc_bits)
     if len(descs) > max_train:
         descs = descs[rng.choice(len(descs), max_train, replace=False)]
 
     centroids = []
     # level 0
-    c0 = _kmeans_binary(descs, branching, iters, rng)
+    c0 = _kmeans(descs, branching, iters, rng)
     centroids.append(c0)
     for level in range(1, depth):
         # assign all descriptors down the tree built so far to find their node
@@ -107,14 +118,13 @@ def train_vocabulary(
             for gi in np.unique(node_ids):
                 sel = node_ids == gi
                 cands = c[gi * k : (gi + 1) * k]
-                dist = (descs[sel][:, None, :].astype(np.int32) != cands[None]).sum(-1)
-                child[sel] = gi * k + dist.argmin(1)
+                child[sel] = gi * k + _dist(descs[sel], cands).argmin(1)
             node_ids = child
         k = branching
-        c_lvl = np.zeros((branching ** (level + 1), descs.shape[1]), np.uint8)
+        c_lvl = np.zeros((branching ** (level + 1), descs.shape[1]), descs.dtype)
         for gi in range(branching ** level):
             members = descs[node_ids == gi]
-            c_lvl[gi * k : (gi + 1) * k] = _kmeans_binary(members, k, iters, rng)
+            c_lvl[gi * k : (gi + 1) * k] = _kmeans(members, k, iters, rng)
         centroids.append(c_lvl)
 
     vocab = Vocabulary(branching, depth, centroids, np.ones(branching ** depth, np.float32))
@@ -133,15 +143,17 @@ def train_vocabulary(
 def _transform_impl(desc_bits, valid, centroids_flat, branching: int, depth: int):
     n = desc_bits.shape[0]
     node = jnp.zeros((n,), jnp.int32)
-    d = desc_bits.astype(jnp.int8)
-    offset = 0
+    binary = desc_bits.dtype == jnp.uint8
+    d = desc_bits.astype(jnp.int8) if binary else desc_bits
     for level in range(depth):
-        c = centroids_flat[level].astype(jnp.int8)  # (branching^(l+1), 256)
+        c = centroids_flat[level]
+        c = c.astype(jnp.int8) if binary else c
         # children of `node` are rows node*branching .. node*branching+b-1
         child_base = node * branching
         cand_idx = child_base[:, None] + jnp.arange(branching)[None, :]  # (N, B)
-        cands = c[cand_idx]  # (N, B, 256)
-        dist = jnp.sum(jnp.abs(d[:, None, :] - cands), axis=-1)
+        cands = c[cand_idx]  # (N, B, D)
+        diff = d[:, None, :] - cands
+        dist = jnp.sum(jnp.abs(diff), axis=-1) if binary else jnp.sum(diff * diff, axis=-1)
         node = child_base + jnp.argmin(dist, axis=-1).astype(jnp.int32)
     return jnp.where(valid, node, -1)
 

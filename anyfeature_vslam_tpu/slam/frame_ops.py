@@ -76,7 +76,7 @@ def match_by_projection(
     """
     r_view = jnp.where(pt_viewcos > 0.998, 2.5, 4.0)
     radius = base_radius * matching.RADIUS_SCALE * r_view * jnp.clip(pt_pred_size, 1.0, MAX_SIZE)
-    dist = matching.hamming_matrix(pt_bits, f_bits)
+    dist = matching.descriptor_distance_matrix(pt_bits, f_bits)
     mask = (
         matching.window_mask(pt_uv, f_uv, radius)
         & pt_visible[:, None]
@@ -102,7 +102,7 @@ def match_frame_to_frame(
     Note the query axis is 'last-frame keypoints with map points'; uv_proj is
     their projected position in the current frame.
     """
-    dist = matching.hamming_matrix(bits_last, f_bits)
+    dist = matching.descriptor_distance_matrix(bits_last, f_bits)
     radius_q = radius * jnp.clip(size_last, 1.0, MAX_SIZE)
     mask = (
         matching.window_mask(uv_proj, f_uv, radius_q)
@@ -124,7 +124,7 @@ def match_for_initialization(
 ):
     """Windowed brute force on level-0 keypoints with ratio + rotation checks
     (reference SearchForInitialization, src/FeatureMatcher.cc:399-557)."""
-    dist = matching.hamming_matrix(bits1, bits2)
+    dist = matching.descriptor_distance_matrix(bits1, bits2)
     mask = (
         matching.window_mask(uv1, uv2, window)
         & (valid1 & (oct1 == 0))[:, None]
@@ -146,7 +146,7 @@ def match_descriptors_global(
     CPU; on TPU the full distance matrix is one matmul, so we match globally
     with the same acceptance tests (th, ratio, rotation histogram).
     """
-    dist = matching.hamming_matrix(bits_q, bits_c)
+    dist = matching.descriptor_distance_matrix(bits_q, bits_c)
     mask = valid_q[:, None] & valid_c[None, :]
     res = matching.match(dist, mask, match_th, ratio=ratio, unique=True)
     valid = matching.rotation_consistency(angle_q, angle_c, res["idx"], res["valid"])
@@ -172,6 +172,6 @@ def match_for_triangulation(
     d2 = num * num / jnp.clip(den, 1e-12, None)
     epi_ok = d2 < 3.84 * oct2_sigma2[None, :]
 
-    dist = matching.hamming_matrix(bits1, bits2)
+    dist = matching.descriptor_distance_matrix(bits1, bits2)
     mask = epi_ok & valid1[:, None] & valid2[None, :]
     return matching.match(dist, mask, match_th, ratio=ratio, unique=True)

@@ -19,10 +19,15 @@ import numpy as np
 
 
 class SlamMap:
-    def __init__(self, max_kf: int = 512, max_pt: int = 60000, n_feat: int = 1024):
+    def __init__(
+        self, max_kf: int = 512, max_pt: int = 60000, n_feat: int = 1024,
+        desc_dim: int = 256, desc_dtype=np.uint8,
+    ):
         self.max_kf = max_kf
         self.max_pt = max_pt
         self.n_feat = n_feat
+        self.desc_dim = desc_dim
+        self.desc_dtype = desc_dtype
 
         k, p, n = max_kf, max_pt, n_feat
         self.kf_valid = np.zeros(k, bool)
@@ -32,7 +37,7 @@ class SlamMap:
         self.kf_matches = np.full((k, n), -1, np.int32)  # keypoint -> point id
         # per-KF feature snapshots (set at insertion)
         self.kf_uv = np.zeros((k, n, 2), np.float32)  # undistorted coords
-        self.kf_desc_bits = np.zeros((k, n, 256), np.uint8)
+        self.kf_desc_bits = np.zeros((k, n, desc_dim), desc_dtype)
         self.kf_octave = np.zeros((k, n), np.int32)
         self.kf_size = np.ones((k, n), np.float32)
         self.kf_angle = np.zeros((k, n), np.float32)
@@ -41,7 +46,7 @@ class SlamMap:
 
         self.pt_valid = np.zeros(p, bool)
         self.pt_pos = np.zeros((p, 3), np.float32)
-        self.pt_desc_bits = np.zeros((p, 256), np.uint8)
+        self.pt_desc_bits = np.zeros((p, desc_dim), desc_dtype)
         self.pt_normal = np.zeros((p, 3), np.float32)
         self.pt_min_dist = np.zeros(p, np.float32)
         self.pt_max_dist = np.zeros(p, np.float32)
@@ -222,7 +227,11 @@ class SlamMap:
         for p, obs in by_pt.items():
             descs = np.stack([self.kf_desc_bits[k, s] for k, s in obs])
             if len(obs) > 1:
-                d = (descs[:, None, :] != descs[None, :, :]).sum(-1)
+                if descs.dtype == np.uint8:
+                    d = (descs[:, None, :] != descs[None, :, :]).sum(-1)
+                else:
+                    diff = descs[:, None, :] - descs[None, :, :]
+                    d = (diff * diff).sum(-1)
                 medians = np.median(d, axis=1)
                 best = int(np.argmin(medians))
             else:

@@ -55,6 +55,8 @@ class TrackingConfig:
     detect_th: float = 20.0
     n_levels: int = 8
     scale_factor: float = 1.2
+    detector: str = "fast"
+    descriptor: str = "bin256"
     seed: int = 0
 
 
@@ -87,11 +89,13 @@ class Tracker:
         self.ext_cfg = ExtractorConfig(
             n_features=cfg.n_features, n_levels=cfg.n_levels,
             scale_factor=cfg.scale_factor, detect_th=cfg.detect_th,
+            detector=cfg.detector, descriptor=cfg.descriptor,
         )
         # init extractor uses 2x features (reference Tracking.h:239)
         self.ext_cfg_init = ExtractorConfig(
             n_features=2 * cfg.n_features, n_levels=cfg.n_levels,
             scale_factor=cfg.scale_factor, detect_th=cfg.detect_th,
+            detector=cfg.detector, descriptor=cfg.descriptor,
         )
         b = cam_ops.undistorted_bounds(camera)
         self.bounds_lo = np.array([float(b[0]), float(b[2])], np.float32)
@@ -161,7 +165,8 @@ class Tracker:
         return self.state
 
     def _reset(self):
-        self.map.__init__(self.map.max_kf, self.map.max_pt, self.map.n_feat)
+        self.map.__init__(self.map.max_kf, self.map.max_pt, self.map.n_feat,
+                          self.map.desc_dim, self.map.desc_dtype)
         self.state = TrackState.NOT_INITIALIZED
         self.velocity = None
         self.last = None

@@ -22,21 +22,6 @@ from .slam.local_mapping import LocalMapper
 from .slam.map_state import SlamMap
 from .slam.tracking import Tracker, TrackingConfig, TrackState
 
-FEATURE_SETTINGS = {
-    # feature name -> (n_octaves, scale_factor, detect_th, match_th)
-    # values from reference settings/*.yaml
-    "orb32": (8, 1.2, 20.0, 75.0),
-    "akaze61": (8, 1.1892, 0.0005, 128.0),
-    "brisk48": (8, 1.2, 55.0, 120.0),
-    "sift128": (8, 2.0, 10.0, 0.5),
-    "surf64": (8, 2.0, 100.0, 0.05),
-    "kaze64": (8, 1.2599, 0.0005, 0.05),
-    "r2d2_128": (1, 1.0, 0.5, 0.38),
-    "anyfeat_bin": (8, 1.2, 20.0, 90.0),
-    "anyfeat_nonbin": (8, 1.2, 20.0, 0.5),
-}
-
-
 class System:
     def __init__(
         self,
@@ -50,13 +35,20 @@ class System:
         vocabulary_path: str | None = None,
         enable_loop_closing: bool = True,
     ):
-        if feature not in ("orb32",):
-            if feature not in FEATURE_SETTINGS:
-                raise ValueError(f"unknown feature type: {feature}")
-            raise NotImplementedError(
-                f"feature '{feature}' not wired into the pipeline yet (orb32 only)"
+        from anyfeature_vslam_tpu.frontend.extractor import (
+            FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
+        )
+
+        if feature not in FEATURE_REGISTRY:
+            raise ValueError(
+                f"unknown feature type: {feature} (known: {sorted(FEATURE_REGISTRY)})"
             )
-        n_oct, scale, detect_th, match_th = FEATURE_SETTINGS[feature]
+        detector, descriptor, n_oct, scale, detect_th, match_th = FEATURE_REGISTRY[feature]
+        if detector == "precomputed":
+            raise NotImplementedError(
+                "r2d2_128 runs through the precomputed-feature loader "
+                "(io.precomputed); live-pipeline wiring lands next round"
+            )
         if n_features is None:
             # reference Tracking.cc:1515-1520: 1000 below 310k px, 2000 above
             n_features = 2000 if camera.width * camera.height > 310000 else 1000
@@ -66,12 +58,18 @@ class System:
             detect_th=detect_th,
             n_levels=n_oct,
             scale_factor=scale,
+            detector=detector,
+            descriptor=descriptor,
             seed=seed,
         )
-        from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig
-
-        capacity = ExtractorConfig(n_features=n_features, n_levels=n_oct, scale_factor=scale).capacity
-        self.map = SlamMap(max_kf=max_kf, max_pt=max_pt, n_feat=capacity)
+        capacity = ExtractorConfig(
+            n_features=n_features, n_levels=n_oct, scale_factor=scale
+        ).capacity
+        self.map = SlamMap(
+            max_kf=max_kf, max_pt=max_pt, n_feat=capacity,
+            desc_dim=descriptor_dim(descriptor),
+            desc_dtype=descriptor_dtype(descriptor),
+        )
         self.tracker = Tracker(cfg, camera, self.map)
         self.local_mapper = LocalMapper(self.map, camera, match_th=match_th)
         self.tracker.on_new_keyframe = self._on_new_keyframe

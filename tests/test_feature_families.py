@@ -1,0 +1,123 @@
+"""All feature families: extraction on a real image, matching semantics,
+precomputed (r2d2) loading."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from anyfeature_vslam_tpu.frontend.extractor import (
+    FEATURE_REGISTRY, ExtractorConfig, extract_features,
+)
+from anyfeature_vslam_tpu.ops import matching
+from anyfeature_vslam_tpu.io import dataset, precomputed
+
+TOY = "/root/reference/docs/toy_sequence"
+
+LIVE_FEATURES = [n for n, v in FEATURE_REGISTRY.items() if v[0] != "precomputed"]
+
+
+@pytest.fixture(scope="module")
+def toy_image():
+    seq = dataset.load_sequence(TOY)
+    return dataset.load_gray(seq.image_paths[0])
+
+
+@pytest.mark.parametrize("name", LIVE_FEATURES)
+def test_extract_each_family(toy_image, name):
+    cfg = ExtractorConfig.for_feature(name, n_features=400)
+    feats = {
+        k: np.asarray(v)
+        for k, v in extract_features(
+            jnp.asarray(toy_image), cfg, *toy_image.shape
+        ).items()
+    }
+    n_valid = int(feats["valid"].sum())
+    assert n_valid > 150, f"{name}: only {n_valid} keypoints"
+    v = feats["valid"]
+    assert np.all(np.isfinite(feats["xy"][v]))
+    # normalized sizes within ORB band
+    assert feats["size"][v].min() >= 1.0 - 1e-5
+    assert feats["size"][v].max() <= 1.2 ** 7 + 1e-4
+    # descriptor dtype/shape per family
+    det, desc, *_ = FEATURE_REGISTRY[name]
+    d = feats["desc_bits"]
+    if desc.startswith("bin"):
+        assert d.dtype == np.uint8 and d.shape[1] == int(desc[3:])
+        assert set(np.unique(d[v])) <= {0, 1}
+    else:
+        assert d.dtype == np.float32
+        # unit norm
+        norms = np.linalg.norm(d[v], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("name", ["sift128", "brisk48"])
+def test_descriptors_match_across_shift(toy_image, name):
+    """Same scene shifted 6px: descriptors must re-match under the family's
+    distance + reference matching threshold."""
+    cfg = ExtractorConfig.for_feature(name, n_features=300)
+    match_th = FEATURE_REGISTRY[name][5]
+    sh = np.roll(toy_image, 6, axis=1)
+    f1 = {k: np.asarray(v) for k, v in extract_features(jnp.asarray(toy_image), cfg, *toy_image.shape).items()}
+    f2 = {k: np.asarray(v) for k, v in extract_features(jnp.asarray(sh), cfg, *toy_image.shape).items()}
+    dist = np.asarray(
+        matching.descriptor_distance_matrix(
+            jnp.asarray(f1["desc_bits"]), jnp.asarray(f2["desc_bits"])
+        )
+    )
+    good, total = 0, 0
+    for i in np.nonzero(f1["valid"] & (f1["octave"] == 0))[0]:
+        tgt = f1["xy"][i] + [6, 0]
+        cand = np.nonzero(
+            f2["valid"] & (f2["octave"] == 0)
+            & (np.abs(f2["xy"] - tgt).max(1) < 2.5)
+        )[0]
+        if len(cand) == 0:
+            continue
+        total += 1
+        if dist[i, cand].min() < match_th:
+            good += 1
+    assert total > 20, f"{name}: only {total} repeatable keypoints"
+    assert good / total > 0.6, f"{name}: {good}/{total} matched under th={match_th}"
+
+
+def test_precomputed_r2d2_loader(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = tmp_path / "seq"
+    (seq / "rgb").mkdir(parents=True)
+    for sub in ("keypoints", "scores", "descriptors"):
+        (seq / "r2d2" / sub).mkdir(parents=True)
+    img_path = str(seq / "rgb" / "0001.png")
+    n = 500
+    kps = np.concatenate(
+        [rng.uniform(0, 640, (n, 2)), rng.uniform(1, 8, (n, 1))], axis=1
+    )
+    scores = rng.uniform(0, 1, (n, 1))
+    descs = rng.normal(size=(n, 128))
+    descs /= np.linalg.norm(descs, axis=1, keepdims=True)
+    kps.astype(np.float64).tofile(seq / "r2d2" / "keypoints" / "0001.bin")
+    scores.astype(np.float64).tofile(seq / "r2d2" / "scores" / "0001.bin")
+    descs.astype(np.float64).tofile(seq / "r2d2" / "descriptors" / "0001.bin")
+
+    out = precomputed.load_precomputed_features(img_path, capacity=300)
+    assert out["valid"].sum() == 300
+    # highest-score keypoints kept
+    kept = np.sort(out["resp"][:300])
+    expect = np.sort(scores[:, 0])[-300:]
+    np.testing.assert_allclose(kept, expect, atol=1e-6)
+    # sizes normalized into the ORB band
+    assert out["size"][:300].min() >= 1.0 - 1e-5
+    assert out["size"][:300].max() <= 1.2 ** 7 + 1e-4
+    assert out["desc_bits"].shape == (300, 128)
+    assert out["desc_bits"].dtype == np.float32
+
+
+def test_capacity_and_dtype_helpers():
+    from anyfeature_vslam_tpu.frontend.extractor import descriptor_dim, descriptor_dtype
+
+    assert descriptor_dim("bin256") == 256
+    assert descriptor_dim("bin488") == 488
+    assert descriptor_dim("grad64") == 64
+    assert descriptor_dim("float128") == 128
+    assert descriptor_dtype("bin384") == np.uint8
+    assert descriptor_dtype("grad128") == np.float32
