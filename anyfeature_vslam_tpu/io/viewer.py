@@ -1,0 +1,92 @@
+"""Offline map/trajectory visualization.
+
+The reference's Pangolin viewer (reference src/Viewer.cc:80-135,
+MapDrawer.cc, FrameDrawer.cc — an OpenGL window with the 3D map, keyframe
+frusta and the current frame overlay) is interactive-GUI-bound and off in
+benchmark runs. The TPU build renders the same content headlessly: a
+top-down (x-z and x-y) orthographic SVG of map points, keyframe frusta and
+the frame trajectory, written per run or on demand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _project_axes(pts, axes):
+    return pts[:, axes[0]], pts[:, axes[1]]
+
+
+def render_map_svg(
+    slam_map, path: str, trajectory=None, axes=(0, 2), size: int = 900,
+):
+    """Write an SVG of the map. axes: which world axes map to (x, y) of the
+    figure (default x-z like the reference's aerial MapDrawer view)."""
+    pts = slam_map.pt_pos[slam_map.pt_valid]
+    kf_ids = slam_map.keyframe_ids()
+    centers = []
+    for kf in kf_ids:
+        t = slam_map.kf_pose[kf]
+        centers.append(-t[:3, :3].T @ t[:3, 3])
+    centers = np.asarray(centers) if centers else np.zeros((0, 3))
+
+    everything = [a for a in (pts, centers) if len(a)]
+    if trajectory is not None and len(trajectory):
+        traj = np.asarray(trajectory)
+        everything.append(traj)
+    else:
+        traj = None
+    if not everything:
+        allpts = np.zeros((1, 3))
+    else:
+        allpts = np.concatenate(everything)
+    px, py = _project_axes(allpts, axes)
+    lo = np.array([px.min(), py.min()]) - 0.2
+    hi = np.array([px.max(), py.max()]) + 0.2
+    span = np.maximum(hi - lo, 1e-6)
+    scale = (size - 40) / span.max()
+
+    def to_screen(p):
+        x, y = _project_axes(np.atleast_2d(p), axes)
+        sx = 20 + (x - lo[0]) * scale
+        sy = size - 20 - (y - lo[1]) * scale
+        return sx, sy
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{size}" height="{size}" '
+        f'viewBox="0 0 {size} {size}"><rect width="100%" height="100%" fill="#101018"/>'
+    ]
+    if len(pts):
+        sx, sy = to_screen(pts)
+        dots = "".join(
+            f'<circle cx="{x:.1f}" cy="{y:.1f}" r="1" fill="#8fd0ff" fill-opacity="0.6"/>'
+            for x, y in zip(sx, sy)
+        )
+        parts.append(dots)
+    if traj is not None:
+        sx, sy = to_screen(traj)
+        d = "M" + " L".join(f"{x:.1f},{y:.1f}" for x, y in zip(sx, sy))
+        parts.append(f'<path d="{d}" stroke="#ffcf5e" stroke-width="1.2" fill="none"/>')
+    if len(centers):
+        sx, sy = to_screen(centers)
+        marks = "".join(
+            f'<rect x="{x - 2.5:.1f}" y="{y - 2.5:.1f}" width="5" height="5" '
+            f'fill="none" stroke="#7dffa0" stroke-width="1"/>'
+            for x, y in zip(sx, sy)
+        )
+        parts.append(marks)
+    parts.append("</svg>")
+    with open(path, "w") as f:
+        f.write("".join(parts))
+    return path
+
+
+def trajectory_centers(trajectory, slam_map):
+    """Frame camera centers from the stored (ts, T_cur_ref, ref, lost) list."""
+    out = []
+    for ts, t_cr, ref_kf, lost in trajectory:
+        if lost or not slam_map.kf_valid[ref_kf]:
+            continue
+        t_cw = t_cr @ slam_map.kf_pose[ref_kf]
+        out.append(-t_cw[:3, :3].T @ t_cw[:3, 3])
+    return np.asarray(out) if out else np.zeros((0, 3))

@@ -60,6 +60,39 @@ class SlamMap:
         self._next_kf = 0
         self._next_pt = 0
 
+    # ---------------------------------------------------------- checkpoint
+    _SCALARS = ("max_kf", "max_pt", "n_feat", "desc_dim", "_next_kf", "_next_pt")
+
+    def save(self, path: str):
+        """Full map checkpoint (the reference's SaveMap/LoadMap is an
+        unimplemented TODO, reference include/System.h:122-124; we persist
+        the whole SoA state so runs can resume / maps can relocalize)."""
+        arrays = {
+            k: v for k, v in self.__dict__.items()
+            if isinstance(v, np.ndarray)
+        }
+        meta = {k: getattr(self, k) for k in self._SCALARS}
+        meta["desc_dtype"] = np.dtype(self.desc_dtype).name
+        np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
+
+    @staticmethod
+    def load(path: str) -> "SlamMap":
+        z = np.load(path, allow_pickle=False)
+        import ast
+
+        meta = ast.literal_eval(str(z["__meta__"][0]))
+        m = SlamMap(
+            max_kf=meta["max_kf"], max_pt=meta["max_pt"], n_feat=meta["n_feat"],
+            desc_dim=meta["desc_dim"], desc_dtype=np.dtype(meta["desc_dtype"]),
+        )
+        for k in z.files:
+            if k == "__meta__":
+                continue
+            setattr(m, k, z[k])
+        m._next_kf = meta["_next_kf"]
+        m._next_pt = meta["_next_pt"]
+        return m
+
     # ------------------------------------------------------------------ KFs
     def n_keyframes(self) -> int:
         return int(self.kf_valid.sum())

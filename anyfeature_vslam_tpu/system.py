@@ -155,7 +155,30 @@ class System:
         trajectory.save_statistics_yaml(
             os.path.join(out_dir, f"{exp_id}_statistics.yaml"), self.map, stats
         )
+        from .io import viewer
+
+        viewer.render_map_svg(
+            self.map,
+            os.path.join(out_dir, f"{exp_id}_map.svg"),
+            trajectory=viewer.trajectory_centers(self.tracker.trajectory, self.map),
+        )
         return kf_csv
+
+    def save_checkpoint(self, path: str):
+        """Persist the full map state (see SlamMap.save)."""
+        self.map.save(path)
+
+    def load_checkpoint(self, path: str):
+        """Restore map state in place; tracking resumes via relocalization."""
+        from .slam.map_state import SlamMap
+
+        loaded = SlamMap.load(path)
+        self.map.__dict__.update(loaded.__dict__)
+        if self.database is not None:
+            for kf in self.map.keyframe_ids():
+                self.database.add(
+                    int(kf), self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
+                )
 
 
 def run_sequence(

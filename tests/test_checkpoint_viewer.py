@@ -1,0 +1,68 @@
+"""Map checkpoint save/load roundtrip + offline viewer rendering."""
+
+import numpy as np
+
+from anyfeature_vslam_tpu.slam.map_state import SlamMap
+from anyfeature_vslam_tpu.io import viewer
+
+
+def small_map(seed=0):
+    rng = np.random.default_rng(seed)
+    m = SlamMap(max_kf=8, max_pt=200, n_feat=64, desc_dim=128, desc_dtype=np.float32)
+    feats = dict(
+        uv_und=rng.uniform(0, 640, (64, 2)).astype(np.float32),
+        desc_bits=rng.normal(size=(64, 128)).astype(np.float32),
+        octave=np.zeros(64, np.int32),
+        size=np.ones(64, np.float32),
+        angle=np.zeros(64, np.float32),
+        inv_sigma2=np.ones(64, np.float32),
+        valid=np.ones(64, bool),
+    )
+    ids = m.add_points(
+        rng.normal(size=(40, 3)).astype(np.float32) + [0, 0, 5],
+        rng.normal(size=(40, 128)).astype(np.float32),
+        ref_kf=0, ref_sizes=np.ones(40, np.float32),
+    )
+    matches = np.full(64, -1, np.int32)
+    matches[:40] = ids
+    m.add_keyframe(np.eye(4, dtype=np.float32), 0.0, 0, feats, matches)
+    t2 = np.eye(4, dtype=np.float32)
+    t2[0, 3] = 0.5
+    m.add_keyframe(t2, 1 / 30, 1, feats, matches.copy())
+    return m
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    m = small_map()
+    p = str(tmp_path / "map.npz")
+    m.save(p)
+    m2 = SlamMap.load(p)
+    assert m2.n_keyframes() == m.n_keyframes()
+    assert m2.n_points() == m.n_points()
+    assert m2.desc_dim == 128 and m2.desc_dtype == np.float32
+    np.testing.assert_array_equal(m2.kf_pose, m.kf_pose)
+    np.testing.assert_array_equal(m2.pt_pos, m.pt_pos)
+    np.testing.assert_array_equal(m2.kf_matches, m.kf_matches)
+    np.testing.assert_array_equal(m2.kf_desc_bits, m.kf_desc_bits)
+    # loaded map is fully functional
+    w = m2.covisibility_weights(0)
+    assert w[1] == 40
+
+
+def test_checkpoint_binary_map(tmp_path):
+    m = SlamMap(max_kf=4, max_pt=50, n_feat=32)  # default uint8/256
+    p = str(tmp_path / "map.npz")
+    m.save(p)
+    m2 = SlamMap.load(p)
+    assert m2.desc_dtype == np.uint8 and m2.desc_dim == 256
+
+
+def test_viewer_svg(tmp_path):
+    m = small_map()
+    traj = np.cumsum(np.random.default_rng(1).normal(0, 0.1, (30, 3)), axis=0)
+    p = viewer.render_map_svg(m, str(tmp_path / "map.svg"), trajectory=traj)
+    content = open(p).read()
+    assert content.startswith("<svg")
+    assert "circle" in content  # points
+    assert "path" in content    # trajectory
+    assert "rect" in content    # keyframes + background
