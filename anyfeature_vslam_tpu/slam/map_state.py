@@ -204,7 +204,13 @@ class SlamMap:
         )
 
     def point_observation_counts(self):
-        """(max_pt,) number of observing keyframes per point."""
+        """(max_pt,) number of observing keyframes per point. Uses the
+        native map-graph kernel when available (native/slam_native.cpp)."""
+        from anyfeature_vslam_tpu import native
+
+        out = native.point_obs_counts(self.kf_matches, self.kf_valid, self.max_pt)
+        if out is not None:
+            return out
         counts = np.zeros(self.max_pt, np.int64)
         for kf in self.keyframe_ids():
             m = self.kf_matches[kf]
@@ -214,7 +220,15 @@ class SlamMap:
 
     def covisibility_weights(self, kf: int):
         """(max_kf,) number of map points shared with `kf` (reference
-        KeyFrame::UpdateConnections semantics, weight = shared points)."""
+        KeyFrame::UpdateConnections semantics, weight = shared points).
+        Native kernel when available."""
+        from anyfeature_vslam_tpu import native
+
+        out = native.covisibility_weights(
+            self.kf_matches, self.kf_valid, int(kf), self.max_pt
+        )
+        if out is not None:
+            return out
         my_pts = self.kf_matches[kf]
         my_pts = my_pts[my_pts >= 0]
         w = np.zeros(self.max_kf, np.int64)

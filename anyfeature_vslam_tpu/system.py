@@ -190,11 +190,16 @@ def run_sequence(
     verbose: bool = True,
 ):
     """End-to-end: load sequence, run SLAM, save trajectory. Returns System."""
+    from . import native
+
     seq = dataset.load_sequence(sequence_path)
     system = System(seq.camera, feature=feature, fps=seq.fps)
     n = len(seq.image_paths) if max_frames is None else min(max_frames, len(seq.image_paths))
+    loader = native.FrameLoader(
+        seq.image_paths[:n], seq.camera.height, seq.camera.width
+    )
     for i in range(n):
-        img = dataset.load_gray(seq.image_paths[i])
+        img = loader.get(i)
         state = system.track_monocular(img, seq.timestamps[i])
         if verbose:
             print(
@@ -202,6 +207,7 @@ def run_sequence(
                 f"pts={system.map.n_points()} inliers={system.tracker.n_inliers}",
                 flush=True,
             )
+    loader.close()
     if out_dir is not None:
         system.save_outputs(out_dir, exp_id)
     return system
