@@ -43,15 +43,15 @@ def tracking_step(
     Returns (pose, n_inliers, feats_dict).
     """
     feats = extract_orb(image, cfg, height, width)
-    dist = matching.descriptor_distance_matrix(prev_bits, feats["desc_bits"])
     radius = 15.0 * matching.RADIUS_SCALE * jnp.clip(prev_size, 1.0, MAX_SIZE)
-    mask = (
-        matching.window_mask(prev_uv_proj, feats["xy"], radius)
-        & prev_valid[:, None]
-        & feats["valid"][None, :]
-        & matching.size_band_mask(prev_size, feats["size"])
+    best, idx, second = matching.guided_best_two(
+        prev_bits, feats["desc_bits"], prev_uv_proj, feats["xy"],
+        jnp.where(prev_valid, radius, -1.0),
+        prev_size / 1.5, prev_size * 1.5, feats["size"], feats["valid"],
     )
-    res = matching.match(dist, mask, match_th=75.0, ratio=None, unique=True)
+    res = matching.finish_match(
+        best, idx, second, feats["desc_bits"].shape[0], 75.0, unique=True
+    )
 
     # scatter matched observations to pose-opt inputs (per map point)
     uv_obs = feats["xy"][res["idx"]]
@@ -60,6 +60,35 @@ def tracking_step(
         t_init, pts3d, uv_obs, inv_s2, res["valid"] & prev_valid, fx, fy, cx, cy
     )
     return pose, n_in, feats
+
+
+@partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def tracking_scan(
+    images, prev_bits, prev_uv_proj, prev_size, prev_valid, pts3d, t_init,
+    fx, fy, cx, cy,
+    cfg: ExtractorConfig, height: int, width: int,
+):
+    """Sequential tracking over a stacked image batch inside ONE program.
+
+    lax.scan carries the pose across frames (frame k+1 is initialized from
+    frame k's optimized pose, the motion-model chain of reference
+    Tracking::TrackWithMotionModel, src/Tracking.cc:729). One dispatch for
+    the whole sequence keeps host<->device round-trips out of the per-frame
+    budget — the TPU-native replacement for the reference's real-time frame
+    loop (src/vslamlab_anyfeature_mono.cpp:144-170).
+
+    Returns (poses (N,4,4), n_inliers (N,)).
+    """
+
+    def step(pose, image):
+        new_pose, n_in, _ = tracking_step(
+            image, prev_bits, prev_uv_proj, prev_size, prev_valid, pts3d,
+            pose, fx, fy, cx, cy, cfg=cfg, height=height, width=width,
+        )
+        return new_pose, (new_pose, n_in)
+
+    _, (poses, n_inliers) = jax.lax.scan(step, t_init, images)
+    return poses, n_inliers
 
 
 def make_example(height: int = 480, width: int = 640, n_pts: int = 512, seed: int = 0):

@@ -53,6 +53,30 @@ def save_frame_trajectory_tum(path, trajectory, slam_map):
             )
 
 
+def save_frame_trajectory_kitti(path, trajectory, slam_map):
+    """KITTI format (reference SaveTrajectoryKITTI, src/System.cc:461-515):
+    one line per tracked frame, 12 values — row-major 3x4 [R_wc | t_wc],
+    with all poses expressed relative to the first keyframe (Two factored
+    out so the origin stays at the first keyframe after loop closure).
+    The reference refuses monocular here; we write it for any sensor since
+    the scale caveat is the caller's concern."""
+    kf_ids = slam_map.keyframe_ids()
+    if len(kf_ids) == 0:
+        open(path, "w").close()
+        return
+    first = kf_ids[np.argmin(slam_map.kf_frame_id[kf_ids])]
+    t_wo = np.linalg.inv(slam_map.kf_pose[first])
+    with open(path, "w") as f:
+        for ts, t_cr, ref_kf, lost in trajectory:
+            if lost or not slam_map.kf_valid[ref_kf]:
+                continue
+            t_cw = t_cr @ slam_map.kf_pose[ref_kf] @ t_wo
+            r_wc = t_cw[:3, :3].T
+            t_wc = -r_wc @ t_cw[:3, 3]
+            vals = np.concatenate([np.hstack([r_wc, t_wc[:, None]]).reshape(-1)])
+            f.write(" ".join(f"{v:.9f}" for v in vals) + "\n")
+
+
 def save_statistics_yaml(path, slam_map, stats: dict):
     counts = slam_map.point_observation_counts()
     n_pts = slam_map.n_points()

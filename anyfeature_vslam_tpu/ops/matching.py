@@ -133,6 +133,53 @@ def size_band_mask(size_pred, size_c, lo: float = 1.0 / 1.5, hi: float = 1.5):
     return (ratio >= lo) & (ratio <= hi)
 
 
+def finish_match(
+    best,
+    best_idx,
+    second,
+    n_cand: int,
+    match_th,
+    ratio=None,
+    angle_q=None,
+    angle_c=None,
+    unique: bool = True,
+    ratio_mask=None,
+):
+    """Acceptance tests on precomputed best/second-best results (shared by
+    the jnp `match` path and the fused Pallas kernel): distance threshold,
+    best/second ratio, rotation-consistency histogram, unique-candidate
+    resolution. Returns dict(idx, dist, valid)."""
+    valid = (best < match_th) & (best_idx >= 0)
+    if ratio is not None:
+        ratio_ok = best < ratio * second
+        if ratio_mask is not None:
+            ratio_ok = ratio_ok | ~ratio_mask
+        valid = valid & ratio_ok
+    idx = jnp.maximum(best_idx, 0)  # keep gather indices in range
+    if unique:
+        valid = resolve_unique(idx, best, valid, n_cand)
+    if angle_q is not None:
+        # reference order: duplicates are resolved at claim time, the
+        # rotation histogram prunes accepted matches last
+        # (src/FeatureMatcher.cc:463-481, :1579-1668)
+        valid = rotation_consistency(angle_q, angle_c, idx, valid)
+    return dict(idx=idx, dist=best, valid=valid)
+
+
+def guided_best_two(
+    q_feat, c_feat, q_uv, c_uv, q_rad, q_slo, q_shi, c_size, c_valid
+):
+    """Masked best/second-best search: fused Pallas kernel on TPU, dense
+    jnp path elsewhere. Gates: per-query square window of radius q_rad
+    (negative radius disables the query row), candidate size in
+    [q_slo, q_shi], candidate validity."""
+    from . import pallas_match
+
+    return pallas_match.best_two_auto(
+        q_feat, c_feat, q_uv, c_uv, q_rad, q_slo, q_shi, c_size, c_valid
+    )
+
+
 def match(
     dist,
     mask,

@@ -76,14 +76,15 @@ def match_by_projection(
     """
     r_view = jnp.where(pt_viewcos > 0.998, 2.5, 4.0)
     radius = base_radius * matching.RADIUS_SCALE * r_view * jnp.clip(pt_pred_size, 1.0, MAX_SIZE)
-    dist = matching.descriptor_distance_matrix(pt_bits, f_bits)
-    mask = (
-        matching.window_mask(pt_uv, f_uv, radius)
-        & pt_visible[:, None]
-        & f_valid[None, :]
-        & matching.size_band_mask(jnp.clip(pt_pred_size, 1.0, MAX_SIZE), f_size)
+    size_q = jnp.clip(pt_pred_size, 1.0, MAX_SIZE)
+    best, idx, second = matching.guided_best_two(
+        pt_bits, f_bits, pt_uv, f_uv,
+        jnp.where(pt_visible, radius, -1.0),
+        size_q / 1.5, size_q * 1.5, f_size, f_valid,
     )
-    return matching.match(dist, mask, match_th, ratio=ratio, unique=True)
+    return matching.finish_match(
+        best, idx, second, f_bits.shape[0], match_th, ratio=ratio, unique=True
+    )
 
 
 @jax.jit
@@ -102,19 +103,16 @@ def match_frame_to_frame(
     Note the query axis is 'last-frame keypoints with map points'; uv_proj is
     their projected position in the current frame.
     """
-    dist = matching.descriptor_distance_matrix(bits_last, f_bits)
     radius_q = radius * jnp.clip(size_last, 1.0, MAX_SIZE)
-    mask = (
-        matching.window_mask(uv_proj, f_uv, radius_q)
-        & (has_pt_last & proj_valid)[:, None]
-        & f_valid[None, :]
-        & matching.size_band_mask(size_last, f_size)
+    best, idx, second = matching.guided_best_two(
+        bits_last, f_bits, uv_proj, f_uv,
+        jnp.where(has_pt_last & proj_valid, radius_q, -1.0),
+        size_last / 1.5, size_last * 1.5, f_size, f_valid,
     )
-    res = matching.match(dist, mask, match_th, ratio=None, unique=True)
-    valid = matching.rotation_consistency(
-        angle_last, angle_cur_of_frame, res["idx"], res["valid"]
+    return matching.finish_match(
+        best, idx, second, f_bits.shape[0], match_th,
+        angle_q=angle_last, angle_c=angle_cur_of_frame, unique=True,
     )
-    return dict(idx=res["idx"], dist=res["dist"], valid=valid)
 
 
 @jax.jit
@@ -124,15 +122,17 @@ def match_for_initialization(
 ):
     """Windowed brute force on level-0 keypoints with ratio + rotation checks
     (reference SearchForInitialization, src/FeatureMatcher.cc:399-557)."""
-    dist = matching.descriptor_distance_matrix(bits1, bits2)
-    mask = (
-        matching.window_mask(uv1, uv2, window)
-        & (valid1 & (oct1 == 0))[:, None]
-        & (valid2 & (oct2 == 0))[None, :]
+    nolo = jnp.zeros_like(uv1[:, 0])
+    nohi = jnp.full_like(uv1[:, 0], matching.INF)
+    best, idx, second = matching.guided_best_two(
+        bits1, bits2, uv1, uv2,
+        jnp.where(valid1 & (oct1 == 0), jnp.broadcast_to(window, uv1[:, 0].shape), -1.0),
+        nolo, nohi, jnp.ones_like(uv2[:, 0]), valid2 & (oct2 == 0),
     )
-    res = matching.match(dist, mask, match_th, ratio=ratio, unique=True)
-    valid = matching.rotation_consistency(angle1, angle2, res["idx"], res["valid"])
-    return dict(idx=res["idx"], dist=res["dist"], valid=valid)
+    return matching.finish_match(
+        best, idx, second, bits2.shape[0], match_th, ratio=ratio,
+        angle_q=angle1, angle_c=angle2, unique=True,
+    )
 
 
 @jax.jit
@@ -146,11 +146,18 @@ def match_descriptors_global(
     CPU; on TPU the full distance matrix is one matmul, so we match globally
     with the same acceptance tests (th, ratio, rotation histogram).
     """
-    dist = matching.descriptor_distance_matrix(bits_q, bits_c)
-    mask = valid_q[:, None] & valid_c[None, :]
-    res = matching.match(dist, mask, match_th, ratio=ratio, unique=True)
-    valid = matching.rotation_consistency(angle_q, angle_c, res["idx"], res["valid"])
-    return dict(idx=res["idx"], dist=res["dist"], valid=valid)
+    zuv = jnp.zeros((bits_q.shape[0], 2), jnp.float32)
+    zcuv = jnp.zeros((bits_c.shape[0], 2), jnp.float32)
+    best, idx, second = matching.guided_best_two(
+        bits_q, bits_c, zuv, zcuv,
+        jnp.where(valid_q, matching.INF, -1.0),
+        jnp.zeros_like(zuv[:, 0]), jnp.full_like(zuv[:, 0], matching.INF),
+        jnp.ones_like(zcuv[:, 0]), valid_c,
+    )
+    return matching.finish_match(
+        best, idx, second, bits_c.shape[0], match_th, ratio=ratio,
+        angle_q=angle_q, angle_c=angle_c, unique=True,
+    )
 
 
 @jax.jit

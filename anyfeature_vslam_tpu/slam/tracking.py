@@ -119,9 +119,21 @@ class Tracker:
             print(f"    [track] {msg}", flush=True)
 
     # ------------------------------------------------------------ frontend
-    def _extract(self, img: np.ndarray, init: bool) -> dict:
+    def _extract(self, img: np.ndarray, init: bool, image_path: str | None = None) -> dict:
         cfg = self.ext_cfg_init if init else self.ext_cfg
-        feats = _np(extract_orb(jnp.asarray(img), cfg, img.shape[0], img.shape[1]))
+        if cfg.detector == "precomputed":
+            # r2d2_128-style offline learned features, loaded per frame from
+            # sibling bin files (reference src/Feature_r2d2_128.cpp:21-54)
+            from anyfeature_vslam_tpu.io.precomputed import load_precomputed_features
+
+            if image_path is None:
+                raise ValueError(
+                    "precomputed features need the image path (pass it to "
+                    "process_frame / track_monocular)"
+                )
+            feats = load_precomputed_features(image_path, cfg.capacity, cfg.desc_dim)
+        else:
+            feats = _np(extract_orb(jnp.asarray(img), cfg, img.shape[0], img.shape[1]))
         uv_und = np.asarray(
             cam_ops.undistort_points(self.cam, jnp.asarray(feats["xy"]))
         )
@@ -129,11 +141,11 @@ class Tracker:
         return feats
 
     # ------------------------------------------------------------ main API
-    def process_frame(self, img: np.ndarray, ts: float):
+    def process_frame(self, img: np.ndarray, ts: float, image_path: str | None = None):
         fid = self.frame_id
         self.frame_id += 1
         init_phase = self.state == TrackState.NOT_INITIALIZED
-        feats = self._extract(img, init=init_phase)
+        feats = self._extract(img, init=init_phase, image_path=image_path)
         frame = FrameData(fid, ts, feats)
 
         if self.state == TrackState.NOT_INITIALIZED:

@@ -44,11 +44,6 @@ class System:
                 f"unknown feature type: {feature} (known: {sorted(FEATURE_REGISTRY)})"
             )
         detector, descriptor, n_oct, scale, detect_th, match_th = FEATURE_REGISTRY[feature]
-        if detector == "precomputed":
-            raise NotImplementedError(
-                "r2d2_128 runs through the precomputed-feature loader "
-                "(io.precomputed); live-pipeline wiring lands next round"
-            )
         if n_features is None:
             # reference Tracking.cc:1515-1520: 1000 below 310k px, 2000 above
             n_features = 2000 if camera.width * camera.height > 310000 else 1000
@@ -134,9 +129,11 @@ class System:
         elif self.database is not None:
             self.database.add(kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf])
 
-    def track_monocular(self, img: np.ndarray, ts: float) -> TrackState:
+    def track_monocular(
+        self, img: np.ndarray, ts: float, image_path: str | None = None
+    ) -> TrackState:
         t0 = time.perf_counter()
-        state = self.tracker.process_frame(img, ts)
+        state = self.tracker.process_frame(img, ts, image_path=image_path)
         self.frame_times.append(time.perf_counter() - t0)
         return state
 
@@ -147,6 +144,8 @@ class System:
         trajectory.save_keyframe_trajectory_vslamlab(kf_csv, self.map)
         tum_txt = os.path.join(out_dir, f"{exp_id}_FrameTrajectory_TUM.txt")
         trajectory.save_frame_trajectory_tum(tum_txt, self.tracker.trajectory, self.map)
+        kitti_txt = os.path.join(out_dir, f"{exp_id}_FrameTrajectory_KITTI.txt")
+        trajectory.save_frame_trajectory_kitti(kitti_txt, self.tracker.trajectory, self.map)
         stats = dict(self.tracker.stats)
         stats["loopClosures"] = self.loop_closer.n_loops_closed if self.loop_closer else 0
         if self.frame_times:
@@ -200,7 +199,7 @@ def run_sequence(
     )
     for i in range(n):
         img = loader.get(i)
-        state = system.track_monocular(img, seq.timestamps[i])
+        state = system.track_monocular(img, seq.timestamps[i], image_path=seq.image_paths[i])
         if verbose:
             print(
                 f"frame {i}/{n} state={state.name} kfs={system.map.n_keyframes()} "

@@ -32,7 +32,7 @@ def main():
     import numpy as np
     import jax
 
-    from anyfeature_vslam_tpu.flagship import tracking_step, make_example
+    from anyfeature_vslam_tpu.flagship import tracking_step, make_example  # noqa: F401
     from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig
     from anyfeature_vslam_tpu.io import dataset
 
@@ -49,21 +49,27 @@ def main():
     example = make_example(height, width)
     args_rest = example[1:]
 
-    fn = jax.jit(partial(tracking_step, cfg=cfg, height=height, width=width))
+    # sequential tracking over a stacked batch inside ONE program: a single
+    # dispatch per round keeps the (environment-dependent) host<->device
+    # round-trip latency out of the per-frame number, measuring sustained
+    # on-device tracking throughput
+    from anyfeature_vslam_tpu.flagship import tracking_scan
+
+    n_frames = 64
+    batch = np.stack([imgs[k % len(imgs)] for k in range(n_frames)])
+    fn = partial(tracking_scan, cfg=cfg, height=height, width=width)
 
     # warmup / compile
-    out = fn(imgs[0], *args_rest)
+    out = fn(batch, *args_rest)
     jax.block_until_ready(out)
 
-    n_rounds = 4
-    reps = 5
+    n_rounds = 3
     times = []
     for _ in range(n_rounds):
         t0 = time.perf_counter()
-        for r in range(reps):
-            out = fn(imgs[r % len(imgs)], *args_rest)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / reps)
+        poses, n_in = fn(batch, *args_rest)
+        np.asarray(poses)  # force full execution + readback
+        times.append((time.perf_counter() - t0) / n_frames)
     per_frame = min(times)
     fps = 1.0 / per_frame
     print(

@@ -66,3 +66,31 @@ def test_viewer_svg(tmp_path):
     assert "circle" in content  # points
     assert "path" in content    # trajectory
     assert "rect" in content    # keyframes + background
+
+
+def test_kitti_trajectory_format(tmp_path):
+    """KITTI writer: 12 floats/line, first pose at origin, valid rotations
+    (reference SaveTrajectoryKITTI, src/System.cc:461-515)."""
+    import numpy as np
+    from anyfeature_vslam_tpu.system import run_sequence
+
+    out = tmp_path / "kitti_out"
+    run_sequence(
+        "/root/reference/docs/toy_sequence", out_dir=str(out), exp_id="k",
+        verbose=False,
+    )
+    lines = (out / "k_FrameTrajectory_KITTI.txt").read_text().strip().splitlines()
+    assert len(lines) >= 3
+    m = np.array([[float(v) for v in ln.split()] for ln in lines])
+    assert m.shape[1] == 12
+    assert np.all(np.isfinite(m))
+    # rotations orthonormal
+    for row in m:
+        r = row.reshape(3, 4)[:, :3]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    # poses are expressed relative to the first keyframe: motion across the
+    # 5-frame toy sequence stays small
+    assert np.all(np.abs(m[:, [3, 7, 11]]) < 1.0)
+    # line count matches the TUM frame trajectory (same non-lost frames)
+    tum = (out / "k_FrameTrajectory_TUM.txt").read_text().strip().splitlines()
+    assert len(lines) == len(tum)
