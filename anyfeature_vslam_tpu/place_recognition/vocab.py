@@ -51,7 +51,12 @@ class Vocabulary:
         )
 
     @staticmethod
-    def load(path: str) -> "Vocabulary":
+    def load(path: str):
+        if path.endswith(".txt"):
+            # reference DBoW2 text vocabulary (ORBvoc.txt et al.)
+            from . import dbow2_io
+
+            return dbow2_io.load_dbow2_text(path)
         z = np.load(path)
         depth = int(z["depth"])
         return Vocabulary(
@@ -158,8 +163,13 @@ def _transform_impl(desc_bits, valid, centroids_flat, branching: int, depth: int
     return jnp.where(valid, node, -1)
 
 
-def transform_words(vocab: Vocabulary, desc_bits, valid):
-    """Descriptors -> word ids (-1 for invalid slots)."""
+def transform_words(vocab, desc_bits, valid):
+    """Descriptors -> word ids (-1 for invalid slots). Dispatches between
+    the framework-native balanced tree and imported DBoW2 vocabularies."""
+    from . import dbow2_io
+
+    if isinstance(vocab, dbow2_io.Dbow2Vocabulary):
+        return dbow2_io.transform_words_dbow2(vocab, desc_bits, valid)
     cents = [jnp.asarray(c) for c in vocab.centroids]
     return _transform_impl(desc_bits, valid, cents, vocab.branching, vocab.depth)
 
