@@ -113,6 +113,7 @@ def _bundle_adjust_impl(
     n_cg: int = 25,
     use_huber: bool = True,
     axis_name: str | None = None,
+    points_sharded: bool = False,
 ):
     """Joint camera/point LM with Schur-marginalized points.
 
@@ -142,6 +143,14 @@ def _bundle_adjust_impl(
         axis (parallel/sharded_ba.py); identity single-chip."""
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    def allr_pt(x):
+        """Point-side reduction. Under the point-sharded layout
+        (parallel/point_sharded_ba.py) every observation of a point lives on
+        the device that owns the point, so point-block sums are complete
+        locally and need NO collective — only camera-side quantities cross
+        the mesh. Identity there; psum when points are replicated."""
+        return x if points_sharded else allr(x)
+
     def total_cost(poses, pts):
         e, _, _, z = _residuals(poses, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
         chi2 = jnp.sum(e * e, axis=-1) * obs_w
@@ -160,13 +169,13 @@ def _bundle_adjust_impl(
         hcc = allr(jax.ops.segment_sum(
             jnp.einsum("oij,oik->ojk", jcw, jc), obs_kf, num_segments=k_cams
         ))
-        hpp = allr(jax.ops.segment_sum(
+        hpp = allr_pt(jax.ops.segment_sum(
             jnp.einsum("oij,oik->ojk", jpw, jp), obs_pt, num_segments=n_pts
         ))
         bc = -allr(jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", jcw, e), obs_kf, num_segments=k_cams
         ))
-        bp = -allr(jax.ops.segment_sum(
+        bp = -allr_pt(jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", jpw, e), obs_pt, num_segments=n_pts
         ))
         # damping
@@ -190,7 +199,7 @@ def _bundle_adjust_impl(
         def yt_mul(v_c):
             """v_c (K, 6) -> (P, 3): Y^T v = sum_o Jp^T w Jc v[cam]."""
             t = jnp.einsum("oij,oj->oi", jc, v_c[obs_kf])  # (O, 2)
-            return allr(jax.ops.segment_sum(
+            return allr_pt(jax.ops.segment_sum(
                 jnp.einsum("oij,oi->oj", jpw, t), obs_pt, num_segments=n_pts
             ))
 
