@@ -73,6 +73,10 @@ class System:
         self.match_th = match_th
         self.seed = seed
         self.frame_times: list[float] = []
+        # per-stage profiling (reference SaveStatistics medians,
+        # src/System.cc:556-563)
+        self.mapping_times: list[float] = []
+        self.loop_times: list[float] = []
         # place recognition: vocabulary loaded or trained lazily from the map
         self.vocabulary = vocabulary_path and self._load_vocab(vocabulary_path)
         self.database = None
@@ -122,10 +126,14 @@ class System:
         self._enable_place_recognition()
 
     def _on_new_keyframe(self, kf: int):
+        t0 = time.perf_counter()
         self.local_mapper.process_keyframe(kf)
+        self.mapping_times.append(time.perf_counter() - t0)
         self._maybe_train_vocabulary()
         if self.loop_closer is not None:
+            t1 = time.perf_counter()
             self.loop_closer.process_keyframe(kf)
+            self.loop_times.append(time.perf_counter() - t1)
         elif self.database is not None:
             self.database.add(kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf])
 
@@ -151,6 +159,18 @@ class System:
         if self.frame_times:
             stats["medianTrackingTime_s"] = round(float(np.median(self.frame_times)), 4)
             stats["meanTrackingTime_s"] = round(float(np.mean(self.frame_times)), 4)
+        if self.mapping_times:
+            stats["medianLocalMappingTime_s"] = round(float(np.median(self.mapping_times)), 4)
+        if self.loop_times:
+            stats["medianLoopClosingTime_s"] = round(float(np.median(self.loop_times)), 4)
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith(("VmPeak", "VmRSS")):
+                        k, v = line.split(":", 1)
+                        stats[k] = v.strip()
+        except OSError:
+            pass
         trajectory.save_statistics_yaml(
             os.path.join(out_dir, f"{exp_id}_statistics.yaml"), self.map, stats
         )
