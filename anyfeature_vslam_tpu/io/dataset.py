@@ -60,10 +60,19 @@ def load_calibration(path: str) -> Tuple[CameraParams, float]:
     return cam, float(y.get("Camera.fps", 30.0))
 
 
-def load_sequence(sequence_path: str) -> Sequence:
-    cam, fps = load_calibration(os.path.join(sequence_path, "calibration.yaml"))
+def load_sequence(
+    sequence_path: str,
+    calibration_yaml: str | None = None,
+    rgb_csv: str | None = None,
+) -> Sequence:
+    """Load a sequence; `calibration_yaml` / `rgb_csv` override the default
+    in-sequence files (reference CLI args calibration_yaml: / rgb_csv:,
+    src/vslamlab_anyfeature_mono.cpp:55-66)."""
+    cam, fps = load_calibration(
+        calibration_yaml or os.path.join(sequence_path, "calibration.yaml")
+    )
     ts, paths = [], []
-    csv_path = os.path.join(sequence_path, "rgb.csv")
+    csv_path = rgb_csv or os.path.join(sequence_path, "rgb.csv")
     txt_path = os.path.join(sequence_path, "rgb.txt")
     if os.path.exists(csv_path):
         with open(csv_path) as f:
@@ -102,3 +111,47 @@ def load_gray(path: str) -> np.ndarray:
     else:
         gray = np.asarray(img, dtype=np.float32)
     return gray.astype(np.float32)
+
+
+# reference vocabulary folder file names (src/Vocabulary.cpp:54-106)
+VOCAB_FILENAMES = {
+    "orb32": "ORBvoc.txt",
+    "akaze61": "Akaze61_DBoW2_voc.txt",
+    "brisk48": "Brisk_DBoW2_voc.txt",
+    "surf64": "Surf64_DBoW2_voc.txt",
+    "kaze64": "Kaze64_DBoW2_voc.txt",
+    "sift128": "Sift128_DBoW2_voc.txt",
+    "r2d2_128": "R2d2_DBoW2_voc.txt",
+    "anyfeat_bin": "AnyFeatBin_DBoW2_voc.txt",
+    "anyfeat_nonbin": "AnyFeatNonBin_DBoW2_voc.txt",
+}
+
+
+def load_feature_settings(path: str) -> dict:
+    """Per-feature settings YAML with the reference's 4 knobs
+    (settings/*_settings.yaml; read at FeatureExtractor.cpp:26-35 and
+    FeatureMatcher.cc:1533-1545). Returns only the keys present."""
+    y = _parse_flat_yaml(path)
+    out = {}
+    if "FeatureExtractor.numOctaves" in y:
+        out["n_levels"] = int(y["FeatureExtractor.numOctaves"])
+    if "FeatureExtractor.scaleFactor" in y:
+        out["scale_factor"] = float(y["FeatureExtractor.scaleFactor"])
+    if "FeatureExtractor.detectionTh" in y:
+        out["detect_th"] = float(y["FeatureExtractor.detectionTh"])
+    if "FeatureMatcher.matchingTh" in y:
+        out["match_th"] = float(y["FeatureMatcher.matchingTh"])
+    return out
+
+
+def find_vocabulary(folder: str, feature: str) -> str | None:
+    """Locate a vocabulary for `feature` in a reference-style vocabulary
+    folder: the DBoW2 text name first, then a framework-native .npz."""
+    cands = []
+    if feature in VOCAB_FILENAMES:
+        cands.append(os.path.join(folder, VOCAB_FILENAMES[feature]))
+    cands.append(os.path.join(folder, f"{feature}_voc.npz"))
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None

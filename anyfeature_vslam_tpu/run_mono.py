@@ -37,6 +37,10 @@ def main(argv=None):
         exp_id=args.get("exp_id", "exp"),
         max_frames=int(args["max_frames"]) if "max_frames" in args else None,
         verbose=args.get("verbose", "1") not in ("0", "false"),
+        calibration_yaml=args.get("calibration_yaml"),
+        rgb_csv=args.get("rgb_csv"),
+        feature_yaml=args.get("feature_yaml"),
+        vocabulary_folder=args.get("vocabulary_folder"),
     )
     import numpy as np
 

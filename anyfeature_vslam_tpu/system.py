@@ -34,6 +34,7 @@ class System:
         fps: float = 30.0,
         vocabulary_path: str | None = None,
         enable_loop_closing: bool = True,
+        feature_settings: dict | None = None,
     ):
         from anyfeature_vslam_tpu.frontend.extractor import (
             FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
@@ -44,6 +45,13 @@ class System:
                 f"unknown feature type: {feature} (known: {sorted(FEATURE_REGISTRY)})"
             )
         detector, descriptor, n_oct, scale, detect_th, match_th = FEATURE_REGISTRY[feature]
+        if feature_settings:
+            # per-feature YAML overrides (reference settings/*_settings.yaml,
+            # 4 knobs; read at FeatureExtractor.cpp:26-35)
+            n_oct = feature_settings.get("n_levels", n_oct)
+            scale = feature_settings.get("scale_factor", scale)
+            detect_th = feature_settings.get("detect_th", detect_th)
+            match_th = feature_settings.get("match_th", match_th)
         if n_features is None:
             # reference Tracking.cc:1515-1520: 1000 below 310k px, 2000 above
             n_features = 2000 if camera.width * camera.height > 310000 else 1000
@@ -207,12 +215,33 @@ def run_sequence(
     exp_id: str = "exp",
     max_frames: int | None = None,
     verbose: bool = True,
+    calibration_yaml: str | None = None,
+    rgb_csv: str | None = None,
+    feature_yaml: str | None = None,
+    vocabulary_folder: str | None = None,
 ):
-    """End-to-end: load sequence, run SLAM, save trajectory. Returns System."""
+    """End-to-end: load sequence, run SLAM, save trajectory. Returns System.
+
+    The optional overrides mirror the reference CLI
+    (src/vslamlab_anyfeature_mono.cpp:47-109): external calibration/rgb
+    listings, a per-feature settings YAML, and a vocabulary folder holding
+    DBoW2 text or framework .npz vocabularies."""
     from . import native
 
-    seq = dataset.load_sequence(sequence_path)
-    system = System(seq.camera, feature=feature, fps=seq.fps)
+    seq = dataset.load_sequence(
+        sequence_path, calibration_yaml=calibration_yaml, rgb_csv=rgb_csv
+    )
+    feature_settings = (
+        dataset.load_feature_settings(feature_yaml) if feature_yaml else None
+    )
+    vocabulary_path = (
+        dataset.find_vocabulary(vocabulary_folder, feature)
+        if vocabulary_folder else None
+    )
+    system = System(
+        seq.camera, feature=feature, fps=seq.fps,
+        feature_settings=feature_settings, vocabulary_path=vocabulary_path,
+    )
     n = len(seq.image_paths) if max_frames is None else min(max_frames, len(seq.image_paths))
     loader = native.FrameLoader(
         seq.image_paths[:n], seq.camera.height, seq.camera.width

@@ -94,3 +94,31 @@ def test_kitti_trajectory_format(tmp_path):
     # line count matches the TUM frame trajectory (same non-lost frames)
     tum = (out / "k_FrameTrajectory_TUM.txt").read_text().strip().splitlines()
     assert len(lines) == len(tum)
+
+
+def test_cli_overrides(tmp_path):
+    """Reference-CLI-parity overrides: feature_yaml knobs, external
+    calibration_yaml, vocabulary_folder resolution."""
+    from anyfeature_vslam_tpu.io import dataset as ds
+    from anyfeature_vslam_tpu.system import run_sequence
+
+    fy = tmp_path / "orb32_settings.yaml"
+    fy.write_text(
+        "%YAML:1.0\nFeatureExtractor.numOctaves: 4\n"
+        "FeatureExtractor.scaleFactor: 1.3\nFeatureExtractor.detectionTh: 25.0\n"
+        "FeatureMatcher.matchingTh: 60.0\n"
+    )
+    s = ds.load_feature_settings(str(fy))
+    assert s == dict(n_levels=4, scale_factor=1.3, detect_th=25.0, match_th=60.0)
+
+    # vocabulary folder resolution prefers the reference DBoW2 names
+    (tmp_path / "ORBvoc.txt").write_text("2 1 0 0\n")
+    assert ds.find_vocabulary(str(tmp_path), "orb32").endswith("ORBvoc.txt")
+    assert ds.find_vocabulary(str(tmp_path), "brisk48") is None
+
+    system = run_sequence(
+        "/root/reference/docs/toy_sequence", feature_yaml=str(fy),
+        max_frames=3, verbose=False,
+    )
+    assert system.tracker.cfg.n_levels == 4
+    assert system.tracker.cfg.match_th == 60.0
