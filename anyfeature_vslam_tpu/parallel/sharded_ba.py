@@ -75,3 +75,26 @@ def sharded_bundle_adjust(
         jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
         jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
     )
+
+
+def sharded_bundle_adjust_two_stage(
+    mesh: Mesh,
+    poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+    fx, fy, cx, cy,
+    n_iters_a: int = 5, n_iters_b: int = 10, n_cg: int = 25,
+):
+    """Distributed version of ops.ba.bundle_adjust_two_stage: the
+    reference's local-BA schedule (5 Huber its, outlier pass at
+    chi2 > 5.991 / negative depth, 10 more its; src/Optimizer.cc:649-699)
+    with each stage psum-reduced over the mesh."""
+    poses, pts, chi2, z = sharded_bundle_adjust(
+        mesh, poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+        fx, fy, cx, cy, n_iters=n_iters_a, n_cg=n_cg, use_huber=True,
+    )
+    obs_valid2 = obs_valid & ~ba.classify_outliers(chi2, z)
+    poses, pts, chi2, z = sharded_bundle_adjust(
+        mesh, poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid2,
+        fx, fy, cx, cy, n_iters=n_iters_b, n_cg=n_cg, use_huber=False,
+    )
+    chi2_all = jnp.where(obs_valid, jnp.where(jnp.isinf(chi2), 1e9, chi2), jnp.inf)
+    return poses, pts, chi2_all, z, obs_valid2

@@ -55,11 +55,14 @@ def _fundamental_from_poses(t1, t2, k):
 def run_bundle_adjustment(
     slam_map: SlamMap, cam, free_kfs, fixed_kfs, pt_ids,
     n_iters_a: int = 5, n_iters_b: int = 10, remove_outliers: bool = True,
+    mesh=None,
 ):
     """Assemble COO arrays from the map and run two-stage Schur LM.
 
     Writes refined poses (free KFs) and point positions back into the map;
     erases outlier observations (reference src/Optimizer.cc:701-747).
+    With `mesh`, the solve is observation-sharded over the device mesh
+    (parallel/sharded_ba.py) — same math, psum-reduced.
     """
     free_kfs = [int(k) for k in free_kfs]
     fixed_kfs = [int(k) for k in fixed_kfs if k not in free_kfs]
@@ -111,13 +114,24 @@ def run_bundle_adjustment(
     ovalid = np.zeros(o_cap, bool)
     ovalid[:n_obs] = True
 
-    new_poses, new_pts, chi2, z, valid2 = ba_ops.bundle_adjust_two_stage(
+    args = (
         jnp.asarray(poses), jnp.asarray(pts), jnp.asarray(free),
         jnp.asarray(okf), jnp.asarray(opt), jnp.asarray(ouv),
         jnp.asarray(ow), jnp.asarray(ovalid),
         float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-        n_iters_a=n_iters_a, n_iters_b=n_iters_b,
     )
+    if mesh is not None and o_cap % mesh.size == 0:
+        from anyfeature_vslam_tpu.parallel import sharded_ba
+
+        new_poses, new_pts, chi2, z, valid2 = (
+            sharded_ba.sharded_bundle_adjust_two_stage(
+                mesh, *args, n_iters_a=n_iters_a, n_iters_b=n_iters_b
+            )
+        )
+    else:
+        new_poses, new_pts, chi2, z, valid2 = ba_ops.bundle_adjust_two_stage(
+            *args, n_iters_a=n_iters_a, n_iters_b=n_iters_b
+        )
     new_poses = np.asarray(new_poses)
     new_pts = np.asarray(new_pts)
     outlier = np.asarray(ba_ops.classify_outliers(chi2, z))[:n_obs]
@@ -136,9 +150,10 @@ def run_bundle_adjustment(
 
 class LocalMapper:
     def __init__(self, slam_map: SlamMap, cam, match_th: float = 75.0,
-                 max_tri_kfs: int = 10, max_ba_kfs: int = 20):
+                 max_tri_kfs: int = 10, max_ba_kfs: int = 20, mesh=None):
         self.map = slam_map
         self.cam = cam
+        self.mesh = mesh  # optional device mesh: local BA runs sharded
         self.k = np.asarray(cam.k_matrix, np.float32)
         self.match_th = match_th
         self.max_tri_kfs = max_tri_kfs
@@ -427,7 +442,9 @@ class LocalMapper:
             oldest = min(free)
             free.remove(oldest)
             fixed = [oldest]
-        run_bundle_adjustment(self.map, self.cam, free, fixed, sorted(pt_ids))
+        run_bundle_adjustment(
+            self.map, self.cam, free, fixed, sorted(pt_ids), mesh=self.mesh
+        )
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

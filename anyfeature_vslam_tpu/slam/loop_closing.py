@@ -33,9 +33,11 @@ COVIS_EDGE_MIN_WEIGHT = 100  # reference Optimizer.cc:46 (minFeat)
 
 
 class LoopCloser:
-    def __init__(self, slam_map, cam, database, match_th: float = 75.0, seed: int = 0):
+    def __init__(self, slam_map, cam, database, match_th: float = 75.0,
+                 seed: int = 0, mesh=None):
         self.map = slam_map
         self.cam = cam
+        self.mesh = mesh  # optional device mesh: global BA runs sharded
         self.db = database
         self.match_th = match_th
         self.seed = seed
@@ -219,6 +221,7 @@ class LoopCloser:
         free = [k for k in kf_ids if k not in fixed]
         run_bundle_adjustment(
             m, self.cam, free, fixed, pt_ids, n_iters_a=5, n_iters_b=10,
+            mesh=self.mesh,
         )
         self.map.update_point_stats()
 

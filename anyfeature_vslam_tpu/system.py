@@ -35,6 +35,7 @@ class System:
         vocabulary_path: str | None = None,
         enable_loop_closing: bool = True,
         feature_settings: dict | None = None,
+        use_mesh: bool | str = "auto",
     ):
         from anyfeature_vslam_tpu.frontend.extractor import (
             FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
@@ -73,8 +74,11 @@ class System:
             desc_dim=descriptor_dim(descriptor),
             desc_dtype=descriptor_dtype(descriptor),
         )
+        self.mesh = self._make_mesh(use_mesh)
         self.tracker = Tracker(cfg, camera, self.map)
-        self.local_mapper = LocalMapper(self.map, camera, match_th=match_th)
+        self.local_mapper = LocalMapper(
+            self.map, camera, match_th=match_th, mesh=self.mesh
+        )
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.camera = camera
         self.fps = fps
@@ -92,6 +96,22 @@ class System:
         self.loop_closing_enabled = enable_loop_closing
         if self.vocabulary is not None:
             self._enable_place_recognition()
+
+    @staticmethod
+    def _make_mesh(use_mesh):
+        """Device mesh for the BA solves (local + global BA run
+        observation-sharded when more than one device is attached;
+        parallel/sharded_ba.py). "auto" = mesh iff multi-device."""
+        if use_mesh is False:
+            return None
+        import jax
+
+        n = len(jax.devices())
+        if n < 2 and use_mesh == "auto":
+            return None
+        from anyfeature_vslam_tpu.parallel import sharded_ba
+
+        return sharded_ba.make_mesh(n)
 
     def _load_vocab(self, path):
         from .place_recognition.vocab import Vocabulary
@@ -111,7 +131,7 @@ class System:
         if self.loop_closing_enabled:
             self.loop_closer = LoopCloser(
                 self.map, self.camera, self.database,
-                match_th=self.match_th, seed=self.seed,
+                match_th=self.match_th, seed=self.seed, mesh=self.mesh,
             )
 
     def _maybe_train_vocabulary(self):
