@@ -146,3 +146,116 @@ def sim3_ransac(
         inliers=jnp.where(better, inl_f, inl[best]),
         n_inliers=jnp.maximum(counts[best], jnp.sum(inl_f.astype(jnp.int32))),
     )
+
+
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+def sim3_optimize(
+    r, t, s, pc1, pc2, uv1, uv2, inv_s2_1, inv_s2_2, valid,
+    fx, fy, cx, cy, th2: float = 10.0, n_iters: int = 10,
+    fix_scale: bool = False,
+):
+    """LM refinement of a Sim3 over matched point pairs (the reference's
+    Optimizer::OptimizeSim3, src/Optimizer.cc:1033-1226): one Sim3 vertex,
+    forward edges project(S12 pc2) - uv1 and inverse edges
+    project(S12^-1 pc1) - uv2, Huber delta = sqrt(th2) (th2 = 10 at the
+    loop-closing call site, LoopClosing.cc:352), both-direction chi2
+    inlier classification.
+
+    Returns dict(r, t, s, inliers, n_inliers).
+    """
+    from . import se3
+
+    r = jnp.asarray(r, jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+    log_s0 = jnp.log(jnp.clip(jnp.asarray(s, jnp.float32), 1e-12, None))
+    w1_full = jnp.where(valid, inv_s2_1, 0.0)
+    w2_full = jnp.where(valid, inv_s2_2, 0.0)
+    w1, w2 = w1_full, w2_full
+    delta_h = jnp.sqrt(th2)
+
+    def residuals(xi, r0, t0, ls0):
+        dr, dt, ds = se3.sim3_exp7(xi)
+        rr = dr @ r0
+        tt = ds * (dr @ t0) + dt
+        ss = ds * jnp.exp(ls0)
+        if fix_scale:
+            ss = jnp.exp(ls0)
+        p1h, z1 = _project(ss * pc2 @ rr.T + tt, fx, fy, cx, cy)
+        inv = (pc1 - tt) @ rr / ss
+        p2h, z2 = _project(inv, fx, fy, cx, cy)
+        e1 = p1h - uv1
+        e2 = p2h - uv2
+        return e1, e2
+
+    def chi2_of(e1, e2):
+        return jnp.sum(e1 * e1, -1) * w1, jnp.sum(e2 * e2, -1) * w2
+
+    def huber_w(chi2):
+        nrm = jnp.sqrt(jnp.clip(chi2, 1e-12, None))
+        return jnp.where(nrm <= delta_h, 1.0, delta_h / nrm)
+
+    def lm_step(carry, _):
+        r0, t0, ls0, lam, cost = carry
+        zero = jnp.zeros(7, jnp.float32)
+        e1, e2 = residuals(zero, r0, t0, ls0)
+        j1, j2 = jax.jacfwd(residuals)(zero, r0, t0, ls0)  # (N,2,7) each
+        c1, c2 = chi2_of(e1, e2)
+        rw1 = w1 * huber_w(c1)
+        rw2 = w2 * huber_w(c2)
+        h = (
+            jnp.einsum("nij,n,nik->jk", j1, rw1, j1)
+            + jnp.einsum("nij,n,nik->jk", j2, rw2, j2)
+        )
+        g = -(
+            jnp.einsum("nij,n,ni->j", j1, rw1, e1)
+            + jnp.einsum("nij,n,ni->j", j2, rw2, e2)
+        )
+        h = h + (lam + 1e-8) * jnp.eye(7) * (1.0 + jnp.diag(h).mean())
+        dx = jnp.linalg.solve(h, g)
+        dr, dt, ds = se3.sim3_exp7(dx)
+        r1 = dr @ r0
+        t1 = ds * (dr @ t0) + dt
+        ls1 = ls0 + jnp.where(fix_scale, 0.0, jnp.log(ds))
+        if fix_scale:
+            t1 = dr @ t0 + dt
+        e1n, e2n = residuals(jnp.zeros(7), r1, t1, ls1)
+        c1n, c2n = chi2_of(e1n, e2n)
+        new_cost = jnp.sum(jnp.minimum(c1n, th2 * 4) + jnp.minimum(c2n, th2 * 4))
+        ok = jnp.isfinite(new_cost) & (new_cost < cost) & jnp.all(jnp.isfinite(dx))
+        r0 = jnp.where(ok, r1, r0)
+        t0 = jnp.where(ok, t1, t0)
+        ls0 = jnp.where(ok, ls1, ls0)
+        cost = jnp.where(ok, new_cost, cost)
+        lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 5.0), 1e-10, 1e6)
+        return (r0, t0, ls0, lam, cost), None
+
+    e1, e2 = residuals(jnp.zeros(7), r, t, log_s0)
+    c1, c2 = chi2_of(e1, e2)
+    cost0 = jnp.sum(jnp.minimum(c1, th2 * 4) + jnp.minimum(c2, th2 * 4))
+    (r, t, log_s, _, _), _ = jax.lax.scan(
+        lm_step, (r, t, log_s0, jnp.float32(1e-4), cost0), None, length=n_iters
+    )
+    # outlier pass + re-optimization on survivors (reference removes bad
+    # edges after the first 5 iterations and optimizes again,
+    # src/Optimizer.cc:1170-1202)
+    e1, e2 = residuals(jnp.zeros(7), r, t, log_s)
+    c1, c2 = chi2_of(e1, e2)
+    keep = valid & (c1 <= th2) & (c2 <= th2)
+    w1 = jnp.where(keep, w1, 0.0)
+    w2 = jnp.where(keep, w2, 0.0)
+    c1, c2 = chi2_of(e1, e2)
+    cost1 = jnp.sum(jnp.minimum(c1, th2 * 4) + jnp.minimum(c2, th2 * 4))
+    del e1, e2
+    (r, t, log_s, _, _), _ = jax.lax.scan(
+        lm_step, (r, t, log_s, jnp.float32(1e-4), cost1), None, length=n_iters
+    )
+    e1, e2 = residuals(jnp.zeros(7), r, t, log_s)
+    # classify against the ORIGINAL weights (w1/w2 were zeroed for the
+    # second pass, which would score removed edges as chi2 = 0)
+    c1 = jnp.sum(e1 * e1, -1) * w1_full
+    c2 = jnp.sum(e2 * e2, -1) * w2_full
+    inl = valid & (c1 <= th2) & (c2 <= th2)
+    return dict(
+        r=r, t=t, s=jnp.exp(log_s), inliers=inl,
+        n_inliers=jnp.sum(inl.astype(jnp.int32)),
+    )

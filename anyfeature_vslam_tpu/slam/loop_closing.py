@@ -138,11 +138,29 @@ class LoopCloser:
         }
         if int(out["n_inliers"]) < MIN_SIM3_INLIERS:
             return False, None, None, None
+        # LM refinement of the RANSAC Sim3 over all pairs (reference
+        # Optimizer::OptimizeSim3 with th2=10, src/Optimizer.cc:1033-1226;
+        # accepted at >= 20 inliers, LoopClosing.cc:352-359)
+        ref = {
+            k: np.asarray(v)
+            for k, v in sim3_ops.sim3_optimize(
+                out["r"], out["t"], float(out["s"]),
+                jnp.asarray(pc1.astype(np.float32)), jnp.asarray(pc2.astype(np.float32)),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray((1.0 / s2_1).astype(np.float32)),
+                jnp.asarray((1.0 / s2_2).astype(np.float32)),
+                jnp.asarray(np.ones(n, bool)),
+                float(self.cam.fx), float(self.cam.fy),
+                float(self.cam.cx), float(self.cam.cy),
+            ).items()
+        }
+        if int(ref["n_inliers"]) < MIN_SIM3_INLIERS:
+            return False, None, None, None
         # matched loop point pairs (fused AFTER pose correction, reference
         # CorrectLoop order :533-556)
-        inl = out["inliers"]
+        inl = ref["inliers"]
         self._pending_merge = (pt2[inl].copy(), pt1[inl].copy())
-        return True, out["r"], out["t"], float(out["s"])
+        return True, ref["r"], ref["t"], float(ref["s"])
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, cand: int, r, t, s):
