@@ -30,6 +30,8 @@ class Sequence:
     image_paths: List[str]
     camera: CameraParams
     fps: float
+    depth_paths: List[str] | None = None   # RGBD sequences (TUM depth.txt)
+    depth_factor: float = 1.0              # raw depth units -> meters
 
 
 def _parse_flat_yaml(path: str) -> dict:
@@ -94,6 +96,56 @@ def load_sequence(
     else:
         raise FileNotFoundError(f"no rgb.csv or rgb.txt in {sequence_path}")
     return Sequence(ts, paths, cam, fps)
+
+
+def _read_tum_listing(path: str):
+    ts, rels = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            t, rel = line.split()[:2]
+            ts.append(float(t))
+            rels.append(rel)
+    return np.asarray(ts), rels
+
+
+def load_sequence_rgbd(
+    sequence_path: str,
+    calibration_yaml: str | None = None,
+    depth_factor: float = 1.0 / 5000.0,
+    max_dt: float = 0.02,
+) -> Sequence:
+    """TUM RGB-D layout: rgb.txt + depth.txt, nearest-timestamp association
+    (the standard associate.py pairing; 16-bit PNG depth at 5000 units/m).
+    The reference exposes RGBD through System::TrackRGBD
+    (src/System.cc:192-241) but ships no RGBD loader; this is the standard
+    dataset form that path consumes."""
+    cam, fps = load_calibration(
+        calibration_yaml or os.path.join(sequence_path, "calibration.yaml")
+    )
+    rgb_ts, rgb_rel = _read_tum_listing(os.path.join(sequence_path, "rgb.txt"))
+    dep_ts, dep_rel = _read_tum_listing(os.path.join(sequence_path, "depth.txt"))
+    ts, paths, dpaths = [], [], []
+    for t, rel in zip(rgb_ts, rgb_rel):
+        j = int(np.argmin(np.abs(dep_ts - t)))
+        if abs(dep_ts[j] - t) > max_dt:
+            continue
+        ts.append(float(t))
+        paths.append(os.path.join(sequence_path, rel))
+        dpaths.append(os.path.join(sequence_path, dep_rel[j]))
+    if not ts:
+        raise FileNotFoundError(f"no associated rgb/depth pairs in {sequence_path}")
+    return Sequence(ts, paths, cam, fps, depth_paths=dpaths, depth_factor=depth_factor)
+
+
+def load_depth(path: str, factor: float = 1.0) -> np.ndarray:
+    """Load a depth map as float32 meters (16-bit PNG x factor; 0 = invalid)."""
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path)).astype(np.float32)
+    return arr * np.float32(factor)
 
 
 def load_gray(path: str) -> np.ndarray:

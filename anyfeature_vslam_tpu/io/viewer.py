@@ -81,6 +81,53 @@ def render_map_svg(
     return path
 
 
+def render_frame_overlay(img, feats, matches=None, state_text: str = "", path=None):
+    """Current-frame overlay (reference FrameDrawer::DrawFrame,
+    src/FrameDrawer.cc): keypoints drawn as boxes — green for keypoints
+    tracked to a map point, blue for untracked detections — plus a status
+    line. Returns an (H, W, 3) uint8 image; writes a PNG when `path` given.
+    """
+    h, w = img.shape[:2]
+    canvas = np.clip(img, 0, 255).astype(np.uint8)
+    rgb = np.stack([canvas] * 3, axis=-1)
+
+    xy = np.asarray(feats["xy"])
+    valid = np.asarray(feats["valid"])
+    tracked = (
+        (np.asarray(matches) >= 0) if matches is not None
+        else np.zeros(len(xy), bool)
+    )
+
+    def draw_box(u, v, color, half=3):
+        x0, x1 = max(u - half, 0), min(u + half + 1, w)
+        y0, y1 = max(v - half, 0), min(v + half + 1, h)
+        rgb[y0:y1, x0, :] = color
+        rgb[y0:y1, x1 - 1, :] = color
+        rgb[y0, x0:x1, :] = color
+        rgb[y1 - 1, x0:x1, :] = color
+
+    green, blue = (90, 230, 90), (110, 160, 255)
+    for i in np.nonzero(valid)[0]:
+        u, v = int(round(float(xy[i, 0]))), int(round(float(xy[i, 1])))
+        if 0 <= u < w and 0 <= v < h:
+            draw_box(u, v, green if tracked[i] else blue)
+    if path is not None:
+        from PIL import Image
+
+        im = Image.fromarray(rgb)
+        if state_text:
+            # keep it dependency-light: status goes in the filename-adjacent
+            # text chunk rather than rasterized text
+            from PIL.PngImagePlugin import PngInfo
+
+            meta = PngInfo()
+            meta.add_text("slam_state", state_text)
+            im.save(path, pnginfo=meta)
+        else:
+            im.save(path)
+    return rgb
+
+
 def trajectory_centers(trajectory, slam_map):
     """Frame camera centers from the stored (ts, T_cur_ref, ref, lost) list."""
     out = []

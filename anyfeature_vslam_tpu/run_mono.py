@@ -41,6 +41,8 @@ def main(argv=None):
         rgb_csv=args.get("rgb_csv"),
         feature_yaml=args.get("feature_yaml"),
         vocabulary_folder=args.get("vocabulary_folder"),
+        sensor=args.get("sensor", "monocular"),
+        bf=float(args.get("bf", 0.0)),
     )
     import numpy as np
 

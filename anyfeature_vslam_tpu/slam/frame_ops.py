@@ -161,6 +161,34 @@ def match_descriptors_global(
 
 
 @jax.jit
+def match_stereo_rows(
+    bits_l, uv_l, size_l, valid_l, bits_r, uv_r, size_r, valid_r,
+    match_th, min_disp, max_disp,
+):
+    """Rectified stereo left<->right matching: one masked distance matrix.
+
+    The reference's Frame::ComputeStereoMatches (reference src/Frame.cc:465,
+    explicitly "not been modified yet to work with AnyFeature-VSLAM") scans
+    per-row candidate lists; here the epipolar band (|v_l - v_r| within
+    2x the keypoint size), the disparity range gate, the descriptor
+    threshold and mutual-uniqueness all live in one batched matcher.
+    Returns dict(idx, dist, valid, disparity) over left keypoints.
+    """
+    dist = matching.descriptor_distance_matrix(bits_l, bits_r)
+    dv = jnp.abs(uv_l[:, None, 1] - uv_r[None, :, 1])
+    band = jnp.maximum(2.0 * size_r[None, :], 2.0)
+    disp = uv_l[:, None, 0] - uv_r[None, :, 0]
+    mask = (
+        valid_l[:, None] & valid_r[None, :]
+        & (dv <= band) & (disp > min_disp) & (disp < max_disp)
+    )
+    res = matching.match(dist, mask, match_th, ratio=0.9, unique=True)
+    disparity = uv_l[:, 0] - uv_r[res["idx"], 0]
+    res["disparity"] = jnp.where(res["valid"], disparity, -1.0)
+    return res
+
+
+@jax.jit
 def match_for_triangulation(
     bits1, uv1, valid1, sigma1_inv2, bits2, uv2, valid2, oct2_sigma2,
     f12, match_th, ratio,

@@ -242,6 +242,9 @@ class LoopCloser:
             mesh=self.mesh,
         )
         self.map.update_point_stats()
+        # loop closure + GBA = a "big change" (reference InformNewBigChange,
+        # surfaced through System::MapChanged)
+        self.map.inform_big_change()
 
     def _optimize_essential_graph(self, kf: int, cand: int, corrected: dict, pre_poses):
         m = self.map

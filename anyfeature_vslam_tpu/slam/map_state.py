@@ -43,6 +43,10 @@ class SlamMap:
         self.kf_angle = np.zeros((k, n), np.float32)
         self.kf_inv_sigma2 = np.ones((k, n), np.float32)
         self.kf_feat_valid = np.zeros((k, n), bool)
+        # sensor depth per keypoint (-1 = none); rgbd/stereo keyframes only.
+        # A depth-bearing observation counts double in observation tallies
+        # (reference MapPoint::GetNumberOfObservations, src/MapPoint.cc:123-140)
+        self.kf_depth = np.full((k, n), -1.0, np.float32)
 
         self.pt_valid = np.zeros(p, bool)
         self.pt_pos = np.zeros((p, 3), np.float32)
@@ -56,9 +60,15 @@ class SlamMap:
         self.pt_first_kf = np.full(p, -1, np.int32)
         self.pt_visible = np.zeros(p, np.int32)
         self.pt_found = np.zeros(p, np.int32)
+        # fusion forwarding: dropped point -> surviving point (reference
+        # MapPoint::GetReplaced, used by Tracking::CheckReplacedInLastFrame)
+        self.pt_replaced = np.full(p, -1, np.int32)
 
         self._next_kf = 0
         self._next_pt = 0
+        # big-change counter (reference Map::InformNewBigChange / index,
+        # consumed by System::MapChanged)
+        self.change_idx = 0
 
     # ---------------------------------------------------------- checkpoint
     _SCALARS = ("max_kf", "max_pt", "n_feat", "desc_dim", "_next_kf", "_next_pt")
@@ -100,6 +110,9 @@ class SlamMap:
     def keyframe_ids(self):
         return np.nonzero(self.kf_valid)[0]
 
+    def inform_big_change(self):
+        self.change_idx += 1
+
     def add_keyframe(self, pose, ts, frame_id, feats, matches) -> int:
         """feats: dict of numpy arrays from the frontend (+ uv_und)."""
         free = np.nonzero(~self.kf_valid)[0]
@@ -117,6 +130,7 @@ class SlamMap:
         self.kf_angle[kf] = feats["angle"]
         self.kf_inv_sigma2[kf] = feats["inv_sigma2"]
         self.kf_feat_valid[kf] = feats["valid"]
+        self.kf_depth[kf] = feats.get("depth", -1.0)
         self.kf_matches[kf] = matches
         self._next_kf = max(self._next_kf, kf + 1)
         return kf
@@ -137,6 +151,9 @@ class SlamMap:
             raise RuntimeError("map point capacity exhausted")
         ids = free.astype(np.int32)
         self.pt_valid[ids] = True
+        self.pt_replaced[ids] = -1
+        # stale forwarding links into recycled slots must not resurrect
+        self.pt_replaced[np.isin(self.pt_replaced, ids)] = -1
         self.pt_pos[ids] = positions
         self.pt_desc_bits[ids] = desc_bits
         self.pt_ref_kf[ids] = ref_kf
@@ -185,6 +202,7 @@ class SlamMap:
         self.pt_found[keep_arr] += self.pt_found[drop_arr]
         self.pt_visible[keep_arr] += self.pt_visible[drop_arr]
         self.pt_valid[drop_arr] = False
+        self.pt_replaced[drop_arr] = keep_arr
 
     # ----------------------------------------------------------- structure
     def observations_of_points(self, pt_ids):
@@ -203,19 +221,28 @@ class SlamMap:
             np.asarray(pts, np.int32),
         )
 
-    def point_observation_counts(self):
-        """(max_pt,) number of observing keyframes per point. Uses the
-        native map-graph kernel when available (native/slam_native.cpp)."""
+    def point_observation_counts(self, stereo_weighted: bool = False):
+        """(max_pt,) observation tally per point. Uses the native map-graph
+        kernel when available (native/slam_native.cpp).
+
+        stereo_weighted: count a depth-bearing observation as 2 (reference
+        MapPoint::GetNumberOfObservations, src/MapPoint.cc:123-140) — the
+        keyframe-decision / culling thresholds consume this form."""
         from anyfeature_vslam_tpu import native
 
-        out = native.point_obs_counts(self.kf_matches, self.kf_valid, self.max_pt)
-        if out is not None:
-            return out
+        if not stereo_weighted:
+            out = native.point_obs_counts(self.kf_matches, self.kf_valid, self.max_pt)
+            if out is not None:
+                return out
         counts = np.zeros(self.max_pt, np.int64)
         for kf in self.keyframe_ids():
             m = self.kf_matches[kf]
-            ids = m[m >= 0]
-            np.add.at(counts, ids, 1)
+            sl = np.nonzero(m >= 0)[0]
+            if stereo_weighted:
+                w = 1 + (self.kf_depth[kf][sl] > 0).astype(np.int64)
+                np.add.at(counts, m[sl], w)
+            else:
+                np.add.at(counts, m[sl], 1)
         return counts
 
     def covisibility_weights(self, kf: int):

@@ -36,6 +36,10 @@ class TrackState(Enum):
 @dataclass
 class TrackingConfig:
     n_features: int = 1000
+    sensor: str = "monocular"        # monocular | rgbd | stereo (System.h:54-60)
+    bf: float = 0.0                  # baseline(m) * fx (reference mbf, Tracking.cc:1386)
+    th_depth: float = 0.0            # close-point depth threshold (reference mThDepth)
+    max_frames: int = 30             # maxFrames = fps (keyframe cadence)
     match_th: float = 75.0           # settings/orb32_settings.yaml matchingTh
     init_window: float = 100.0       # reference Tracking.cc:473 (SearchForInitialization)
     init_ratio: float = 0.9
@@ -64,9 +68,14 @@ class TrackingConfig:
 class FrameData:
     frame_id: int
     ts: float
-    feats: dict            # numpy arrays incl. uv_und
+    feats: dict            # numpy arrays incl. uv_und (+ depth/u_right for rgbd/stereo)
     pose: np.ndarray | None = None       # Tcw 4x4
     matches: np.ndarray | None = None    # (N,) kp slot -> point id or -1
+    # "visual odometry" 3D points (localization mode, rgbd/stereo): per-slot
+    # world positions from sensor depth, used by pose opt but never inserted
+    # into the map (reference mlpTemporalPoints, Tracking.cc:663-727)
+    vo_pts3d: np.ndarray | None = None
+    vo_valid: np.ndarray | None = None
 
 
 def _np(d):
@@ -105,8 +114,14 @@ class Tracker:
         self.init_ref: FrameData | None = None
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
+        self.last_reloc_frame_id: int = -(10**9)
         self.frame_id = 0
         self.n_inliers = 0
+        self._n_map_inliers = 0
+        # localization-only mode (reference ActivateLocalizationMode,
+        # System.h:88, onlyTracking/mbVO in Tracking::Track :184-278)
+        self.only_tracking = False
+        self.mb_vo = False
         # trajectory: per frame (ts, T_cur_ref, ref_kf, lost)
         self.trajectory: list = []
         self.on_new_keyframe = None   # callback(kf_id) -> local mapping
@@ -140,28 +155,98 @@ class Tracker:
         feats["uv_und"] = uv_und.astype(np.float32)
         return feats
 
+    def _attach_depth(self, feats: dict, depth_img: np.ndarray):
+        """RGBD: sample the depth map at the (raw) keypoint pixels and derive
+        the virtual right coordinate (reference Frame::ComputeStereoFromRGBD,
+        src/Frame.cc:648-670: uRight = u - bf/d)."""
+        xy = feats["xy"]
+        u = np.clip(np.rint(xy[:, 0]).astype(np.int64), 0, depth_img.shape[1] - 1)
+        v = np.clip(np.rint(xy[:, 1]).astype(np.int64), 0, depth_img.shape[0] - 1)
+        d = depth_img[v, u].astype(np.float32)
+        d = np.where(feats["valid"] & (d > 0), d, -1.0).astype(np.float32)
+        feats["depth"] = d
+        bf = float(self.cfg.bf)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ur = feats["uv_und"][:, 0] - bf / d
+        feats["u_right"] = np.where(d > 0, ur, -1.0).astype(np.float32)
+
+    def _attach_stereo(self, feats: dict, img_right: np.ndarray):
+        """Stereo: extract right-image features and row-match them against
+        the left keypoints; disparity -> depth (reference Frame stereo ctor,
+        src/Frame.cc:60-95; row search replaces ComputeStereoMatches)."""
+        right = _np(
+            extract_orb(jnp.asarray(img_right), self.ext_cfg,
+                        img_right.shape[0], img_right.shape[1])
+        )
+        bf = float(self.cfg.bf)
+        fx = float(self.cam.fx)
+        # rectified input: match on raw pixel rows; disparity in (0, bf/minZ]
+        # with minZ = baseline (ORB-SLAM2 convention), i.e. max_disp = fx
+        res = _np(
+            frame_ops.match_stereo_rows(
+                jnp.asarray(feats["desc_bits"]), jnp.asarray(feats["xy"]),
+                jnp.asarray(feats["size"]), jnp.asarray(feats["valid"]),
+                jnp.asarray(right["desc_bits"]), jnp.asarray(right["xy"]),
+                jnp.asarray(right["size"]), jnp.asarray(right["valid"]),
+                self.cfg.match_th, 0.0, fx,
+            )
+        )
+        disp = res["disparity"]
+        ok = res["valid"] & (disp > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = bf / disp
+        feats["depth"] = np.where(ok, d, -1.0).astype(np.float32)
+        feats["u_right"] = np.where(
+            ok, feats["xy"][:, 0] - disp, -1.0
+        ).astype(np.float32)
+
+    def _unproject_depth(self, frame: FrameData, slots: np.ndarray, t_cw: np.ndarray):
+        """World positions of keypoints from sensor depth (reference
+        Frame::UnprojectStereo, src/Frame.cc:671-687)."""
+        z = frame.feats["depth"][slots]
+        uv = frame.feats["uv_und"][slots]
+        x = (uv[:, 0] - float(self.cam.cx)) * z / float(self.cam.fx)
+        y = (uv[:, 1] - float(self.cam.cy)) * z / float(self.cam.fy)
+        pc = np.stack([x, y, z], -1).astype(np.float32)
+        r = t_cw[:3, :3]
+        t = t_cw[:3, 3]
+        return pc @ r + (-r.T @ t)  # Rwc = r.T; pc @ Rwc.T = pc @ r
+
     # ------------------------------------------------------------ main API
-    def process_frame(self, img: np.ndarray, ts: float, image_path: str | None = None):
+    def process_frame(
+        self, img: np.ndarray, ts: float, image_path: str | None = None,
+        depth: np.ndarray | None = None, img_right: np.ndarray | None = None,
+    ):
         fid = self.frame_id
         self.frame_id += 1
-        init_phase = self.state == TrackState.NOT_INITIALIZED
+        mono = self.cfg.sensor == "monocular"
+        init_phase = self.state == TrackState.NOT_INITIALIZED and mono
         feats = self._extract(img, init=init_phase, image_path=image_path)
         frame = FrameData(fid, ts, feats)
+        if depth is not None:
+            self._attach_depth(feats, depth)
+        elif img_right is not None:
+            self._attach_stereo(feats, img_right)
 
         if self.state == TrackState.NOT_INITIALIZED:
-            self._monocular_initialization(frame)
+            if mono:
+                self._monocular_initialization(frame)
+            else:
+                self._stereo_initialization(frame)
         elif self.state == TrackState.OK:
             ok = self._track(frame)
             if not ok:
                 self.state = TrackState.LOST
                 self.stats["lost_frames"] += 1
                 # reference: reset whole system if lost early (Tracking.cc:355-363)
-                if self.map.n_keyframes() <= 5:
+                if not self.only_tracking and self.map.n_keyframes() <= 5:
                     self._reset()
         else:
             if self._relocalization(frame):
                 self.state = TrackState.OK
                 self.stats["relocalizations"] += 1
+                self.last_reloc_frame_id = fid
+                self.mb_vo = False
                 self.velocity = None
                 self.last = frame
             else:
@@ -320,43 +405,142 @@ class Tracker:
             self.on_new_keyframe(kf1)
             self.on_new_keyframe(kf2)
 
+    def _stereo_initialization(self, frame: FrameData):
+        """Instant map bootstrap from sensor depth (reference
+        Tracking::StereoInitialization, src/Tracking.cc:390-437): needs
+        > 500 keypoints; pose = identity; one keyframe; a map point per
+        keypoint with positive depth."""
+        depth = frame.feats.get("depth")
+        if depth is None:
+            return
+        if int(frame.feats["valid"].sum()) <= 500:  # minKeypointsStereo
+            return
+        pose = np.eye(4, dtype=np.float32)
+        frame.pose = pose
+        matches = np.full(self.map.n_feat, -1, np.int32)
+        kf = self.map.add_keyframe(pose, frame.ts, frame.frame_id, frame.feats, matches)
+        slots = np.nonzero(frame.feats["valid"] & (depth > 0))[0]
+        if len(slots) < 100:
+            self.map.remove_keyframe(kf)
+            frame.pose = None
+            return
+        pts3d = self._unproject_depth(frame, slots, pose)
+        ids = self.map.add_points(
+            pts3d, frame.feats["desc_bits"][slots], kf, frame.feats["size"][slots]
+        )
+        self.map.kf_matches[kf][slots] = ids
+        self.map.update_point_stats(ids)
+        frame.matches = self.map.kf_matches[kf].copy()
+        self.ref_kf = kf
+        self.last_kf_frame_id = frame.frame_id
+        self.last = frame
+        self.velocity = None
+        self.state = TrackState.OK
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+
     # ------------------------------------------------------------ tracking
+    def _check_replaced_in_last_frame(self):
+        """Local mapping may have fused map points since the last frame;
+        follow replacement links and drop dead ids (reference
+        Tracking::CheckReplacedInLastFrame, src/Tracking.cc:601-617)."""
+        if self.last is None or self.last.matches is None:
+            return
+        m = self.last.matches
+        sel = np.nonzero(m >= 0)[0]
+        if len(sel) == 0:
+            return
+        ids = m[sel]
+        for _ in range(4):  # resolve replacement chains
+            rep = self.map.pt_replaced[ids]
+            step = rep >= 0
+            if not step.any():
+                break
+            ids = np.where(step, rep, ids)
+        ids = np.where(self.map.pt_valid[ids], ids, -1)
+        m[sel] = ids
+
     def _track(self, frame: FrameData) -> bool:
         cfg = self.cfg
-        ok = False
-        if self.velocity is not None:
-            ok = self._track_motion_model(frame)
-        if not ok:
-            ok = self._track_reference_kf(frame)
-        if not ok:
-            return False
-        ok = self._track_local_map(frame)
-        if not ok:
-            return False
+        self._check_replaced_in_last_frame()
+        if not self.only_tracking:
+            ok = False
+            if self.velocity is not None and frame.frame_id >= self.last_reloc_frame_id + 2:
+                ok = self._track_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_kf(frame)
+            if not ok:
+                return False
+            ok = self._track_local_map(frame)
+            if not ok:
+                return False
+        else:
+            # Localization mode (reference Tracking.cc:210-296): mapping is
+            # off; when mbVO the map has drifted out of view and tracking
+            # rides sensor-depth "visual odometry" points until a
+            # relocalization sticks.
+            if not self.mb_vo:
+                if self.velocity is not None:
+                    ok = self._track_motion_model(frame)
+                else:
+                    ok = self._track_reference_kf(frame)
+            else:
+                ok_mm = False
+                if self.velocity is not None:
+                    ok_mm = self._track_motion_model(frame)
+                mm_pose = frame.pose.copy() if ok_mm else None
+                mm_matches = frame.matches.copy() if ok_mm else None
+                ok_reloc = self._relocalization(frame)
+                if ok_reloc:
+                    self.mb_vo = False
+                    self.last_reloc_frame_id = frame.frame_id
+                    self.stats["relocalizations"] += 1
+                elif ok_mm:
+                    frame.pose, frame.matches = mm_pose, mm_matches
+                ok = ok_reloc or ok_mm
+            if not ok:
+                return False
+            if not self.mb_vo:
+                ok = self._track_local_map(frame)
+                if not ok:
+                    return False
 
         # velocity update (reference Tracking.cc:340-350)
         if self.last is not None and self.last.pose is not None:
             self.velocity = frame.pose @ np.linalg.inv(self.last.pose)
         self.last = frame
 
-        if self._need_new_keyframe(frame):
+        if not self.only_tracking and self._need_new_keyframe(frame):
             self._create_new_keyframe(frame)
         return True
 
     def _pose_optimize(self, frame: FrameData, matches: np.ndarray, init_pose):
-        """matches: (N,) kp -> pt id. Returns (pose, inlier_matches, n_inliers)."""
+        """matches: (N,) kp -> pt id. Returns (pose, inlier_matches, n_inliers).
+
+        Frame-local visual-odometry points (frame.vo_pts3d, localization
+        mode) join the solve on slots without a map match; map-point inlier
+        count is kept separately for the mbVO decision (reference
+        TrackWithMotionModel counts nmatchesMap, Tracking.cc:770-789)."""
         has = matches >= 0
         pt_ids = np.where(has, matches, 0)
         pts = self.map.pt_pos[pt_ids]
+        mask = has
+        if frame.vo_pts3d is not None:
+            use_vo = frame.vo_valid & ~has
+            pts = np.where(use_vo[:, None], frame.vo_pts3d, pts).astype(np.float32)
+            mask = has | use_vo
         t, inlier, n_in = pose_opt.pose_optimize(
             jnp.asarray(init_pose.astype(np.float32)), jnp.asarray(pts),
             jnp.asarray(frame.feats["uv_und"]),
             jnp.asarray(frame.feats["inv_sigma2"]),
-            jnp.asarray(has & frame.feats["valid"]),
+            jnp.asarray(mask & frame.feats["valid"]),
             float(self.cam.fx), float(self.cam.fy), float(self.cam.cx), float(self.cam.cy),
         )
         inlier = np.asarray(inlier)
         out_matches = np.where(inlier, matches, -1).astype(np.int32)
+        if frame.vo_pts3d is not None:
+            frame.vo_valid = frame.vo_valid & inlier
+        self._n_map_inliers = int((inlier & has).sum())
         return np.asarray(t), out_matches, int(n_in)
 
     def _track_motion_model(self, frame: FrameData) -> bool:
@@ -366,6 +550,24 @@ class Tracker:
         has_pt = last.matches >= 0
         pt_ids = np.where(has_pt, last.matches, 0)
         pts = self.map.pt_pos[pt_ids]
+        # localization mode + depth sensor: augment the last frame's map
+        # points with sensor-depth VO points (reference UpdateLastFrame
+        # temporal points, Tracking.cc:673-727)
+        vo_mask = None
+        if (
+            self.only_tracking and cfg.sensor != "monocular"
+            and "depth" in last.feats and last.pose is not None
+        ):
+            d = last.feats["depth"]
+            vo_mask = (~has_pt) & last.feats["valid"] & (d > 0)
+            if vo_mask.any():
+                slots = np.nonzero(vo_mask)[0]
+                pts_vo = np.zeros_like(pts)
+                pts_vo[slots] = self._unproject_depth(last, slots, last.pose)
+                pts = np.where(vo_mask[:, None], pts_vo, pts)
+                has_pt = has_pt | vo_mask
+            else:
+                vo_mask = None
         # project last frame's points with predicted pose
         pc = pts @ pred_pose[:3, :3].T + pred_pose[:3, 3]
         z = pc[:, 2]
@@ -401,10 +603,21 @@ class Tracker:
         matches = np.full(self.map.n_feat, -1, np.int32)
         src = np.nonzero(res["valid"])[0]
         matches[res["idx"][src]] = last.matches[src]
+        if vo_mask is not None:
+            src_vo = src[vo_mask[src]]
+            if len(src_vo):
+                frame.vo_pts3d = np.zeros((self.map.n_feat, 3), np.float32)
+                frame.vo_valid = np.zeros(self.map.n_feat, bool)
+                frame.vo_pts3d[res["idx"][src_vo]] = pts[src_vo]
+                frame.vo_valid[res["idx"][src_vo]] = True
         pose, matches, n_in = self._pose_optimize(frame, matches, pred_pose)
         frame.pose = pose
         frame.matches = matches
         self._dbg(f"motion-model: {int(res['valid'].sum())} matches -> {n_in} inliers")
+        if self.only_tracking:
+            # mbVO: few genuine map matches left (reference Tracking.cc:781-787)
+            self.mb_vo = self._n_map_inliers < 10
+            return n_in > 20
         return n_in >= cfg.min_track_inliers
 
     def _track_reference_kf(self, frame: FrameData) -> bool:
@@ -583,20 +796,78 @@ class Tracker:
 
     # --------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame: FrameData) -> bool:
+        """Reference NeedNewKeyFrame (src/Tracking.cc:838-922), including the
+        stereo/RGBD close-point conditions and the per-sensor ref-ratio."""
         cfg = self.cfg
+        if self.only_tracking:
+            return False
         n_kf = self.map.n_keyframes()
+        if (
+            frame.frame_id < self.last_reloc_frame_id + cfg.max_frames
+            and n_kf > cfg.max_frames
+        ):
+            return False
+        mono = cfg.sensor == "monocular"
         min_obs = 3 if n_kf > 2 else 2
-        counts = self.map.point_observation_counts()
+        counts = self.map.point_observation_counts(stereo_weighted=not mono)
         ref_m = self.map.kf_matches[self.ref_kf]
         ref_pts = ref_m[ref_m >= 0]
         n_ref = int((counts[ref_pts] >= min_obs).sum())
+
+        need_close = False
+        if not mono and "depth" in frame.feats:
+            d = frame.feats["depth"]
+            close = frame.feats["valid"] & (d > 0) & (d < cfg.th_depth)
+            tracked = close & (frame.matches >= 0)
+            n_tracked_close = int(tracked.sum())
+            n_nontracked_close = int((close & ~tracked).sum())
+            # minTrackedClose=100, minNonTrackedClose=70 (Tracking.h:296-297)
+            need_close = (n_tracked_close < 100) and (n_nontracked_close > 70)
+
+        if mono:
+            th_ref = cfg.kf_ref_ratio        # 0.9
+        elif n_kf < 2:
+            th_ref = 0.4                     # refRatio_low_needNewKey
+        else:
+            th_ref = 0.75                    # refRatio_medium_needNewKey
+
         frames_since = frame.frame_id - self.last_kf_frame_id
-        c1a = frames_since >= 30  # maxFrames = fps
+        c1a = frames_since >= cfg.max_frames
         c1b = frames_since >= 0   # minFrames=0 and synchronous mapping is idle
-        c2 = (self.n_inliers < n_ref * cfg.kf_ref_ratio) and (
+        c1c = (not mono) and (self.n_inliers < n_ref * 0.25 or need_close)
+        c2 = ((self.n_inliers < n_ref * th_ref) or need_close) and (
             self.n_inliers > cfg.kf_min_inliers
         )
-        return (c1a or c1b) and c2
+        return (c1a or c1b or c1c) and c2
+
+    def _create_depth_points(self, frame: FrameData, kf: int):
+        """Stereo/RGBD keyframes mint map points directly from sensor depth:
+        every close point (< th_depth), and at least the 100 nearest
+        (reference CreateNewKeyFrame, src/Tracking.cc:933-979)."""
+        d = frame.feats["depth"]
+        cand = frame.feats["valid"] & (d > 0)
+        slots = np.nonzero(cand)[0]
+        if len(slots) == 0:
+            return
+        slots = slots[np.argsort(d[slots], kind="stable")]
+        dd = d[slots]
+        counted = np.arange(1, len(slots) + 1)
+        stop = np.nonzero((dd > self.cfg.th_depth) & (counted > 100))[0]
+        if len(stop):
+            slots = slots[: stop[0]]
+        create = slots[self.map.kf_matches[kf][slots] < 0]
+        if len(create) == 0:
+            return
+        free = int((~self.map.pt_valid).sum())
+        if free < len(create):
+            create = create[:free]
+        pts3d = self._unproject_depth(frame, create, frame.pose)
+        ids = self.map.add_points(
+            pts3d, frame.feats["desc_bits"][create], kf, frame.feats["size"][create]
+        )
+        self.map.kf_matches[kf][create] = ids
+        self.map.update_point_stats(ids)
+        frame.matches[create] = ids
 
     def _create_new_keyframe(self, frame: FrameData):
         kf = self.map.add_keyframe(
@@ -604,6 +875,8 @@ class Tracker:
         )
         self.ref_kf = kf
         self.last_kf_frame_id = frame.frame_id
+        if self.cfg.sensor != "monocular" and "depth" in frame.feats:
+            self._create_depth_points(frame, kf)
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
         # mapping may have refined poses; keep frame/last in sync

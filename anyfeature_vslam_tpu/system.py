@@ -36,6 +36,10 @@ class System:
         enable_loop_closing: bool = True,
         feature_settings: dict | None = None,
         use_mesh: bool | str = "auto",
+        sensor: str = "monocular",
+        bf: float = 0.0,
+        th_depth: float = 0.0,
+        depth_map_factor: float = 1.0,
     ):
         from anyfeature_vslam_tpu.frontend.extractor import (
             FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
@@ -56,8 +60,20 @@ class System:
         if n_features is None:
             # reference Tracking.cc:1515-1520: 1000 below 310k px, 2000 above
             n_features = 2000 if camera.width * camera.height > 310000 else 1000
+        if sensor not in ("monocular", "rgbd", "stereo"):
+            raise ValueError(f"unknown sensor: {sensor}")
+        if sensor != "monocular" and bf <= 0:
+            raise ValueError("rgbd/stereo sensors need bf = baseline * fx > 0")
+        if sensor != "monocular" and th_depth <= 0:
+            # ORB-SLAM2-style default: 35 * baseline (ThDepth=35, reference
+            # Tracking.cc:1460 commented parse; mThDepth = bf * ThDepth / fx)
+            th_depth = 35.0 * bf / float(camera.fx)
         cfg = TrackingConfig(
             n_features=n_features,
+            sensor=sensor,
+            bf=bf,
+            th_depth=th_depth,
+            max_frames=max(int(round(fps)), 1),
             match_th=match_th,
             detect_th=detect_th,
             n_levels=n_oct,
@@ -82,6 +98,12 @@ class System:
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.camera = camera
         self.fps = fps
+        self.sensor = sensor
+        self.depth_map_factor = depth_map_factor
+        self._reset_requested = False
+        self._activate_localization_requested = False
+        self._deactivate_localization_requested = False
+        self._last_map_change_idx = 0
         self.match_th = match_th
         self.seed = seed
         self.frame_times: list[float] = []
@@ -168,10 +190,105 @@ class System:
     def track_monocular(
         self, img: np.ndarray, ts: float, image_path: str | None = None
     ) -> TrackState:
+        if self.sensor != "monocular":
+            raise RuntimeError("track_monocular called but sensor is " + self.sensor)
+        return self._track(img, ts, image_path=image_path)
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray, ts: float) -> TrackState:
+        """Reference System::TrackRGBD (src/System.cc:192-241): depth map
+        scaled by the depth factor, then the shared Track path."""
+        if self.sensor != "rgbd":
+            raise RuntimeError("track_rgbd called but sensor is " + self.sensor)
+        if self.depth_map_factor != 1.0:
+            depth = depth.astype(np.float32) * self.depth_map_factor
+        return self._track(img, ts, depth=depth)
+
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray, ts: float) -> TrackState:
+        """Reference System::TrackStereo (src/System.cc:141-190)."""
+        if self.sensor != "stereo":
+            raise RuntimeError("track_stereo called but sensor is " + self.sensor)
+        return self._track(img_left, ts, img_right=img_right)
+
+    def _track(self, img, ts, image_path=None, depth=None, img_right=None) -> TrackState:
+        # mode-change / reset checks before each frame (reference
+        # System::TrackMonocular :253-285)
+        if self._activate_localization_requested:
+            self.tracker.only_tracking = True
+            self._activate_localization_requested = False
+        if self._deactivate_localization_requested:
+            self.tracker.only_tracking = False
+            self.tracker.mb_vo = False
+            self._deactivate_localization_requested = False
+        if self._reset_requested:
+            self.reset()
+            self._reset_requested = False
         t0 = time.perf_counter()
-        state = self.tracker.process_frame(img, ts, image_path=image_path)
+        state = self.tracker.process_frame(
+            img, ts, image_path=image_path, depth=depth, img_right=img_right
+        )
         self.frame_times.append(time.perf_counter() - t0)
         return state
+
+    # ---------------------------------------------------------- accessors
+    def get_tracking_state(self) -> TrackState:
+        """Reference System::GetTrackingState (include/System.h:128)."""
+        return self.tracker.state
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Point ids matched in the current frame (reference
+        System::GetTrackedMapPoints, include/System.h:129)."""
+        f = self.tracker.last
+        if f is None or f.matches is None:
+            return np.zeros(0, np.int32)
+        return f.matches[f.matches >= 0]
+
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Undistorted keypoints of the current frame (reference
+        System::GetTrackedKeyPointsUn, include/System.h:130)."""
+        f = self.tracker.last
+        if f is None:
+            return np.zeros((0, 2), np.float32)
+        return f.feats["uv_und"][f.feats["valid"]]
+
+    def map_changed(self) -> bool:
+        """Reference System::MapChanged (include/System.h:94): true once per
+        big map change (loop closure / global BA)."""
+        idx = self.map.change_idx
+        if idx > self._last_map_change_idx:
+            self._last_map_change_idx = idx
+            return True
+        return False
+
+    # -------------------------------------------------------- mode control
+    def activate_localization_mode(self):
+        """Stop mapping; track against the frozen map (reference
+        System::ActivateLocalizationMode, include/System.h:88)."""
+        self._activate_localization_requested = True
+
+    def deactivate_localization_mode(self):
+        self._deactivate_localization_requested = True
+
+    def request_reset(self):
+        self._reset_requested = True
+
+    def reset(self):
+        """Clear map, database and tracking state (reference System::Reset ->
+        Tracking::Reset, src/Tracking.cc:1311-1356)."""
+        self.tracker._reset()
+        if self.database is not None:
+            self.database = None
+            self.loop_closer = None
+            self.tracker.database = None
+            if self.vocabulary is not None:
+                self._enable_place_recognition()
+
+    def shutdown(self):
+        """Reference System::Shutdown (src/System.cc:332-351): the worker
+        threads are synchronous here, so shutdown just blocks until device
+        work is drained."""
+        import jax
+
+        (jax.device_put(0.0) + 0).block_until_ready()
 
     # ------------------------------------------------------------- output
     def save_outputs(self, out_dir: str, exp_id: str = "exp"):
@@ -211,6 +328,18 @@ class System:
         )
         return kf_csv
 
+    def render_frame(self, img: np.ndarray, path: str | None = None):
+        """Overlay of the most recent frame's keypoints/tracks (reference
+        FrameDrawer::DrawFrame); returns an RGB array, optionally saves PNG."""
+        from .io import viewer
+
+        f = self.tracker.last
+        if f is None:
+            return None
+        return viewer.render_frame_overlay(
+            img, f.feats, f.matches, state_text=self.tracker.state.name, path=path
+        )
+
     def save_checkpoint(self, path: str):
         """Persist the full map state (see SlamMap.save)."""
         self.map.save(path)
@@ -239,18 +368,26 @@ def run_sequence(
     rgb_csv: str | None = None,
     feature_yaml: str | None = None,
     vocabulary_folder: str | None = None,
+    sensor: str = "monocular",
+    bf: float = 0.0,
 ):
     """End-to-end: load sequence, run SLAM, save trajectory. Returns System.
 
     The optional overrides mirror the reference CLI
     (src/vslamlab_anyfeature_mono.cpp:47-109): external calibration/rgb
     listings, a per-feature settings YAML, and a vocabulary folder holding
-    DBoW2 text or framework .npz vocabularies."""
+    DBoW2 text or framework .npz vocabularies. sensor="rgbd" consumes a TUM
+    RGB-D layout (rgb.txt + depth.txt) through System::track_rgbd."""
     from . import native
 
-    seq = dataset.load_sequence(
-        sequence_path, calibration_yaml=calibration_yaml, rgb_csv=rgb_csv
-    )
+    if sensor == "rgbd":
+        seq = dataset.load_sequence_rgbd(
+            sequence_path, calibration_yaml=calibration_yaml
+        )
+    else:
+        seq = dataset.load_sequence(
+            sequence_path, calibration_yaml=calibration_yaml, rgb_csv=rgb_csv
+        )
     feature_settings = (
         dataset.load_feature_settings(feature_yaml) if feature_yaml else None
     )
@@ -261,6 +398,7 @@ def run_sequence(
     system = System(
         seq.camera, feature=feature, fps=seq.fps,
         feature_settings=feature_settings, vocabulary_path=vocabulary_path,
+        sensor=sensor, bf=bf,
     )
     n = len(seq.image_paths) if max_frames is None else min(max_frames, len(seq.image_paths))
     loader = native.FrameLoader(
@@ -268,7 +406,13 @@ def run_sequence(
     )
     for i in range(n):
         img = loader.get(i)
-        state = system.track_monocular(img, seq.timestamps[i], image_path=seq.image_paths[i])
+        if sensor == "rgbd":
+            depth = dataset.load_depth(seq.depth_paths[i], seq.depth_factor)
+            state = system.track_rgbd(img, depth, seq.timestamps[i])
+        else:
+            state = system.track_monocular(
+                img, seq.timestamps[i], image_path=seq.image_paths[i]
+            )
         if verbose:
             print(
                 f"frame {i}/{n} state={state.name} kfs={system.map.n_keyframes()} "

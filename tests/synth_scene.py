@@ -66,7 +66,12 @@ class PlaneScene:
         return val, ok
 
     def render(self, t_cw):
-        """Render the view from pose T_cw (world -> camera).
+        return self.render_with_depth(t_cw)[0]
+
+    def render_with_depth(self, t_cw):
+        """Render the view from pose T_cw (world -> camera) plus the exact
+        per-pixel camera-frame depth (rays are normalized to z_c = 1, so the
+        ray parameter IS the depth) — ground truth for RGBD tests.
 
         Ray-casts against the raised platforms first (camera is below the
         plane at z < 0 looking +z, so higher-z surfaces are farther; the
@@ -120,7 +125,12 @@ class PlaneScene:
         v, ok = self._sample(pts_x[hit], pts_y[hit])
         idx = np.nonzero(hit)[0]
         val_out[idx[ok]] = v[ok]
-        return val_out.reshape(self.h, self.w).astype(np.float32)
+        best_lam[idx] = lam[hit]
+        depth = np.where(np.isfinite(best_lam), best_lam, -1.0)
+        return (
+            val_out.reshape(self.h, self.w).astype(np.float32),
+            depth.reshape(self.h, self.w).astype(np.float32),
+        )
 
 
 def look_down_pose(x, y, z, yaw=0.0):

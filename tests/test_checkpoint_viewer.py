@@ -122,3 +122,24 @@ def test_cli_overrides(tmp_path):
     )
     assert system.tracker.cfg.n_levels == 4
     assert system.tracker.cfg.match_th == 60.0
+
+
+def test_frame_overlay(tmp_path):
+    """FrameDrawer-equivalent overlay: keypoint boxes + PNG output."""
+    from anyfeature_vslam_tpu.io import viewer
+
+    img = np.full((120, 160), 50.0, np.float32)
+    feats = dict(
+        xy=np.array([[20.0, 30.0], [100.0, 60.0], [150.0, 110.0]], np.float32),
+        valid=np.array([True, True, False]),
+    )
+    matches = np.array([5, -1, -1], np.int32)
+    out = viewer.render_frame_overlay(
+        img, feats, matches, state_text="OK", path=str(tmp_path / "f.png")
+    )
+    assert out.shape == (120, 160, 3)
+    # tracked keypoint drew green, untracked blue, invalid nothing
+    assert (out[27, 17] == (90, 230, 90)).all()
+    assert (out[57, 97] == (110, 160, 255)).all()
+    assert (out[107, 147] == 50).all()
+    assert (tmp_path / "f.png").exists()
