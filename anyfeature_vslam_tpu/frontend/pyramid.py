@@ -42,10 +42,13 @@ def build_pyramid(image, n_levels: int, scale_factor: float):
     return levels
 
 
+import numpy as _np
+
+
 def gaussian_kernel1d(sigma: float, radius: int):
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+    x = _np.arange(-radius, radius + 1, dtype=_np.float32)
+    k = _np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
 
 
 @partial(jax.jit, static_argnames=("sigma", "radius"))
@@ -54,21 +57,20 @@ def gaussian_blur(image, sigma: float = 2.0, radius: int = 3):
 
     Used before descriptor sampling (cv::ORB applies GaussianBlur(7x7, s=2)
     before computing BRIEF bits).
+
+    Implemented as shift-and-add on the VPU: a single-channel
+    conv_general_dilated wastes the MXU (1/128 lanes) and measured
+    ~2.5 ms/level on real TPU; 2*(2r+1) fused shifted adds are ~100x
+    cheaper for a 7-tap kernel.
     """
     k = gaussian_kernel1d(sigma, radius)
+    h, w = image.shape
     img = jnp.pad(image, ((radius, radius), (0, 0)), mode="edge")
-    # Convolve rows then cols via conv_general_dilated on NCHW 1x1.
-    img = jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    img = jnp.pad(img, ((0, 0), (radius, radius)), mode="edge")
-    img = jax.lax.conv_general_dilated(
-        img[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    return img
+    out = k[0] * jax.lax.dynamic_slice(img, (0, 0), (h, w))
+    for i in range(1, 2 * radius + 1):
+        out = out + k[i] * jax.lax.dynamic_slice(img, (i, 0), (h, w))
+    img = jnp.pad(out, ((0, 0), (radius, radius)), mode="edge")
+    out = k[0] * jax.lax.dynamic_slice(img, (0, 0), (h, w))
+    for i in range(1, 2 * radius + 1):
+        out = out + k[i] * jax.lax.dynamic_slice(img, (0, i), (h, w))
+    return out

@@ -56,10 +56,14 @@ def _match_kernel(q_feat, q_meta, c_feat, c_meta,
     # <= D <= 512 are exact in the f32 accumulator, and the package-default
     # "highest" would ask Mosaic for an fp32-contract bf16 matmul it cannot
     # lower ("Bad lhs type"). float descriptors use HIGHEST so the f32
-    # contraction matches the jnp oracle bit-for-bit. c_feat arrives
-    # pre-transposed (D, tile_c) so this is a plain NN matmul.
-    dot = jnp.dot(
+    # contraction matches the jnp oracle bit-for-bit. c_feat arrives in its
+    # natural (tile_c, D) layout; the MXU contracts both operands' dim 1
+    # directly (an explicit XLA-side transpose of a computed candidate
+    # matrix forces a pathological relayout copy before the custom call —
+    # measured ~60 ms/frame in the tracking program).
+    dot = jax.lax.dot_general(
         q_feat[:], c_feat[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
     )
@@ -166,7 +170,7 @@ def fused_best_two(
     c_meta = c_meta.at[_CSIZE, :nc].set(c_size.astype(jnp.float32))
     c_meta = c_meta.at[_CVAL, :nc].set(c_valid.astype(jnp.float32))
 
-    args = (_pad_to(qf, nq_p), q_meta, _pad_to(cf, nc_p).T, c_meta)
+    args = (_pad_to(qf, nq_p), q_meta, _pad_to(cf, nc_p), c_meta)
     grid = (nq_p // tile_q, nc_p // tile_c)
     out_spec = pl.BlockSpec((tile_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     precision = (
@@ -178,7 +182,7 @@ def fused_best_two(
         in_specs=[
             pl.BlockSpec((tile_q, d_dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_q, _META), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_dim, tile_c), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_c, d_dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_META, tile_c), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec),
@@ -217,8 +221,20 @@ def reference_best_two(
     return best, idx, second
 
 
+# Below this many distance-matrix entries the dense jnp path wins: the
+# matmul is tiny, XLA fuses mask+reduction into it, and — measured on real
+# TPU — feeding a pallas_call an operand COMPUTED inside the same program
+# (e.g. the frame's fresh descriptors) costs a ~60 ms/frame relayout copy
+# into the custom call's expected operand layout, while the identical jnp
+# program adds ~0 ms. The fused kernel pays off when Nq*Nc is large enough
+# that materializing the distance matrix in HBM dominates.
+_FUSED_MIN_ENTRIES = 4_000_000
+
+
 def best_two_auto(*args, **kw):
-    """Pallas on TPU, jnp fallback elsewhere (CPU tests, debugging)."""
-    if jax.default_backend() == "tpu":
+    """Size-dispatched: dense jnp for tracking-scale problems, fused Pallas
+    kernel for large candidate sets, jnp everywhere off-TPU."""
+    nq, nc = args[0].shape[0], args[1].shape[0]
+    if jax.default_backend() == "tpu" and nq * nc >= _FUSED_MIN_ENTRIES:
         return fused_best_two(*args, **kw)
     return reference_best_two(*args)
