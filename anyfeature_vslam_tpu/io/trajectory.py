@@ -40,12 +40,17 @@ def save_keyframe_trajectory_vslamlab(path, slam_map):
 
 
 def save_frame_trajectory_tum(path, trajectory, slam_map):
-    """trajectory: list of (ts, T_cur_ref, ref_kf, lost)."""
+    """trajectory: list of (ts, T_cur_ref, ref_kf_uid, lost). Culled
+    reference keyframes are resolved through the retired-anchor chain
+    (reference SaveTrajectoryTUM walks pKF->GetParent() with Tcp,
+    src/System.cc:353-412)."""
     with open(path, "w") as f:
-        for ts, t_cr, ref_kf, lost in trajectory:
-            if lost or not slam_map.kf_valid[ref_kf]:
+        for ts, t_cr, ref_uid, lost in trajectory:
+            if lost:
                 continue
-            t_cw = t_cr @ slam_map.kf_pose[ref_kf]
+            t_cw = slam_map.resolve_anchor(t_cr, ref_uid)
+            if t_cw is None:
+                continue
             c, q = _pose_to_center_quat(t_cw)
             f.write(
                 f"{ts:.6f} {c[0]:.7f} {c[1]:.7f} {c[2]:.7f} "
@@ -67,10 +72,13 @@ def save_frame_trajectory_kitti(path, trajectory, slam_map):
     first = kf_ids[np.argmin(slam_map.kf_frame_id[kf_ids])]
     t_wo = np.linalg.inv(slam_map.kf_pose[first])
     with open(path, "w") as f:
-        for ts, t_cr, ref_kf, lost in trajectory:
-            if lost or not slam_map.kf_valid[ref_kf]:
+        for ts, t_cr, ref_uid, lost in trajectory:
+            if lost:
                 continue
-            t_cw = t_cr @ slam_map.kf_pose[ref_kf] @ t_wo
+            t_cw_abs = slam_map.resolve_anchor(t_cr, ref_uid)
+            if t_cw_abs is None:
+                continue
+            t_cw = t_cw_abs @ t_wo
             r_wc = t_cw[:3, :3].T
             t_wc = -r_wc @ t_cw[:3, 3]
             vals = np.concatenate([np.hstack([r_wc, t_wc[:, None]]).reshape(-1)])

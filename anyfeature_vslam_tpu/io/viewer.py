@@ -129,11 +129,14 @@ def render_frame_overlay(img, feats, matches=None, state_text: str = "", path=No
 
 
 def trajectory_centers(trajectory, slam_map):
-    """Frame camera centers from the stored (ts, T_cur_ref, ref, lost) list."""
+    """Frame camera centers from the stored (ts, T_cur_ref, ref_uid, lost)
+    list (culled anchors resolved through the retired-keyframe chain)."""
     out = []
-    for ts, t_cr, ref_kf, lost in trajectory:
-        if lost or not slam_map.kf_valid[ref_kf]:
+    for ts, t_cr, ref_uid, lost in trajectory:
+        if lost:
             continue
-        t_cw = t_cr @ slam_map.kf_pose[ref_kf]
+        t_cw = slam_map.resolve_anchor(t_cr, ref_uid)
+        if t_cw is None:
+            continue
         out.append(-t_cw[:3, :3].T @ t_cw[:3, 3])
     return np.asarray(out) if out else np.zeros((0, 3))

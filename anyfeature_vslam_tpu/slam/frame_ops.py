@@ -116,6 +116,63 @@ def match_frame_to_frame(
 
 
 @jax.jit
+def match_frame_to_frame_2r(
+    uv_last, bits_last, size_last, has_pt_last,
+    uv_proj, proj_valid,
+    f_uv, f_bits, f_size, f_valid,
+    angle_last, angle_cur_of_frame,
+    radius, match_th, min_matches,
+):
+    """Motion-model search with the reference's widen-and-retry fallback
+    (reference Tracking::TrackWithMotionModel retries SearchByProjection with
+    2*th when matches < 20, src/Tracking.cc:747-757) fused into ONE program:
+    both radii are matched and the narrow result wins when it has enough
+    matches. Costs one extra tiny matmul instead of a host round-trip."""
+    res1 = match_frame_to_frame(
+        uv_last, bits_last, size_last, has_pt_last, uv_proj, proj_valid,
+        f_uv, f_bits, f_size, f_valid, angle_last, angle_cur_of_frame,
+        radius, match_th,
+    )
+    res2 = match_frame_to_frame(
+        uv_last, bits_last, size_last, has_pt_last, uv_proj, proj_valid,
+        f_uv, f_bits, f_size, f_valid, angle_last, angle_cur_of_frame,
+        2.0 * radius, match_th,
+    )
+    use1 = jnp.sum(res1["valid"]) >= min_matches
+    res = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(use1, a, b), res1, res2
+    )
+    res["n_matches"] = jnp.sum(res["valid"])
+    return res
+
+
+@jax.jit
+def project_and_match(
+    pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_ref_size, pt_ref_dist,
+    pt_bits, pt_valid,
+    t_cw, fx, fy, cx, cy, bound_lo, bound_hi,
+    f_uv, f_bits, f_size, f_valid,
+    base_radius, match_th, ratio,
+):
+    """SearchLocalPoints fused: frustum projection (Frame::isInFrustum) +
+    guided projection search (SearchByProjection(F, points, th)) as one
+    dispatch (reference src/Tracking.cc:988-1028). Returns the match result
+    plus the visibility mask (for the visible/found counters)."""
+    uv, dist, viewcos, pred_size, visible = project_points(
+        pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_ref_size, pt_ref_dist,
+        t_cw, fx, fy, cx, cy, bound_lo, bound_hi,
+    )
+    visible = visible & pt_valid
+    res = match_by_projection(
+        uv, pred_size, viewcos, pt_bits, visible,
+        f_uv, f_bits, f_size, f_valid,
+        base_radius, match_th, ratio,
+    )
+    res["visible"] = visible
+    return res
+
+
+@jax.jit
 def match_for_initialization(
     uv1, bits1, oct1, angle1, valid1, uv2, bits2, oct2, angle2, valid2,
     window, match_th, ratio,

@@ -31,6 +31,16 @@ class SlamMap:
 
         k, p, n = max_kf, max_pt, n_feat
         self.kf_valid = np.zeros(k, bool)
+        # Slots are recycled, so frames must anchor to a stable keyframe
+        # IDENTITY, not a slot: kf_uid is monotonically assigned; culled
+        # keyframes retire into `retired_kfs` with their pose relative to a
+        # surviving parent (reference KeyFrame::SetBadFlag stores Tcp +
+        # parent for exactly this trajectory-replay purpose,
+        # src/KeyFrame.cc:492-588, used in SaveTrajectoryTUM).
+        self.kf_uid = np.full(k, -1, np.int64)
+        self._uid_counter = 0
+        self.uid_slot: dict = {}       # live uid -> slot
+        self.retired_kfs: dict = {}    # uid -> (t_cp 4x4 f32, parent uid)
         self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))  # Tcw
         self.kf_ts = np.zeros(k, np.float64)
         self.kf_frame_id = np.full(k, -1, np.int64)
@@ -71,7 +81,10 @@ class SlamMap:
         self.change_idx = 0
 
     # ---------------------------------------------------------- checkpoint
-    _SCALARS = ("max_kf", "max_pt", "n_feat", "desc_dim", "_next_kf", "_next_pt")
+    _SCALARS = (
+        "max_kf", "max_pt", "n_feat", "desc_dim",
+        "_next_kf", "_next_pt", "_uid_counter",
+    )
 
     def save(self, path: str):
         """Full map checkpoint (the reference's SaveMap/LoadMap is an
@@ -81,6 +94,16 @@ class SlamMap:
             k: v for k, v in self.__dict__.items()
             if isinstance(v, np.ndarray)
         }
+        # retired-keyframe anchors (dict -> arrays; uid_slot is derivable)
+        ruids = sorted(self.retired_kfs)
+        arrays["__ret_uid__"] = np.asarray(ruids, np.int64)
+        arrays["__ret_parent__"] = np.asarray(
+            [self.retired_kfs[u][1] for u in ruids], np.int64
+        )
+        arrays["__ret_tcp__"] = (
+            np.stack([self.retired_kfs[u][0] for u in ruids])
+            if ruids else np.zeros((0, 4, 4), np.float32)
+        )
         meta = {k: getattr(self, k) for k in self._SCALARS}
         meta["desc_dtype"] = np.dtype(self.desc_dtype).name
         np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
@@ -96,11 +119,21 @@ class SlamMap:
             desc_dim=meta["desc_dim"], desc_dtype=np.dtype(meta["desc_dtype"]),
         )
         for k in z.files:
-            if k == "__meta__":
+            if k == "__meta__" or k.startswith("__ret_"):
                 continue
             setattr(m, k, z[k])
         m._next_kf = meta["_next_kf"]
         m._next_pt = meta["_next_pt"]
+        m._uid_counter = meta.get("_uid_counter", int(m.kf_uid.max()) + 1)
+        m.retired_kfs = {
+            int(u): (t.astype(np.float32), int(p))
+            for u, p, t in zip(z["__ret_uid__"], z["__ret_parent__"], z["__ret_tcp__"])
+        }
+        m.uid_slot = {
+            int(m.kf_uid[s]): int(s)
+            for s in np.nonzero(m.kf_valid)[0]
+            if m.kf_uid[s] >= 0
+        }
         return m
 
     # ------------------------------------------------------------------ KFs
@@ -133,11 +166,42 @@ class SlamMap:
         self.kf_depth[kf] = feats.get("depth", -1.0)
         self.kf_matches[kf] = matches
         self._next_kf = max(self._next_kf, kf + 1)
+        uid = self._uid_counter
+        self._uid_counter += 1
+        self.kf_uid[kf] = uid
+        self.uid_slot[uid] = kf
         return kf
 
     def remove_keyframe(self, kf: int):
+        """Cull a keyframe; retire its identity against a surviving anchor
+        so recorded frame poses (T_cur_ref) stay replayable after the slot
+        is recycled (reference SetBadFlag Tcp, src/KeyFrame.cc:492-588)."""
+        uid = int(self.kf_uid[kf])
+        if uid >= 0:
+            cov, _ = self.covisible_keyframes(kf, min_weight=1, max_n=1)
+            parent = int(cov[0]) if len(cov) else -1
+            if parent >= 0 and parent != kf and self.kf_valid[parent]:
+                t_cp = self.kf_pose[kf] @ np.linalg.inv(self.kf_pose[parent])
+                self.retired_kfs[uid] = (
+                    t_cp.astype(np.float32), int(self.kf_uid[parent])
+                )
+            self.uid_slot.pop(uid, None)
+            self.kf_uid[kf] = -1
         self.kf_valid[kf] = False
         self.kf_matches[kf] = -1
+
+    def resolve_anchor(self, t_cr: np.ndarray, uid: int):
+        """Walk retired-keyframe parents until a live anchor; returns the
+        world pose T_cw = accumulated_T_cr @ T_parent_w, or None if the
+        chain dead-ends (anchor evicted without a parent)."""
+        t_cr = np.asarray(t_cr, np.float32)
+        while uid in self.retired_kfs:
+            t_cp, uid = self.retired_kfs[uid]
+            t_cr = t_cr @ t_cp
+        slot = self.uid_slot.get(int(uid))
+        if slot is None or not self.kf_valid[slot]:
+            return None
+        return t_cr @ self.kf_pose[slot]
 
     # --------------------------------------------------------------- points
     def n_points(self) -> int:

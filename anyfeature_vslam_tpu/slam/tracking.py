@@ -15,8 +15,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from enum import Enum
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_orb
@@ -79,7 +81,9 @@ class FrameData:
 
 
 def _np(d):
-    return {k: np.asarray(v) for k, v in d.items()}
+    """Fetch a whole device dict in ONE transfer: per-leaf np.asarray pays a
+    round-trip each, which dominates on a remote-TPU (tunnel) backend."""
+    return dict(zip(d.keys(), jax.device_get(list(d.values()))))
 
 
 def _pad_pow2(n, lo=256):
@@ -87,6 +91,15 @@ def _pad_pow2(n, lo=256):
     while c < n:
         c *= 2
     return c
+
+
+@partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def _extract_undistort(img, cam, cfg, height: int, width: int):
+    """Extraction + keypoint undistortion fused into one dispatch (the
+    reference Frame ctor does both before Track(), src/Frame.cc:171-242)."""
+    feats = extract_orb(img, cfg, height, width)
+    feats["uv_und"] = cam_ops.undistort_points(cam, feats["xy"]).astype(jnp.float32)
+    return feats
 
 
 class Tracker:
@@ -147,12 +160,15 @@ class Tracker:
                     "process_frame / track_monocular)"
                 )
             feats = load_precomputed_features(image_path, cfg.capacity, cfg.desc_dim)
+            feats["uv_und"] = np.asarray(
+                cam_ops.undistort_points(self.cam, jnp.asarray(feats["xy"]))
+            ).astype(np.float32)
         else:
-            feats = _np(extract_orb(jnp.asarray(img), cfg, img.shape[0], img.shape[1]))
-        uv_und = np.asarray(
-            cam_ops.undistort_points(self.cam, jnp.asarray(feats["xy"]))
-        )
-        feats["uv_und"] = uv_und.astype(np.float32)
+            feats = _np(
+                _extract_undistort(
+                    jnp.asarray(img), self.cam, cfg, img.shape[0], img.shape[1]
+                )
+            )
         return feats
 
     def _attach_depth(self, feats: dict, depth_img: np.ndarray):
@@ -255,8 +271,12 @@ class Tracker:
         if frame.pose is not None and self.ref_kf >= 0:
             t_ref = self.map.kf_pose[self.ref_kf]
             t_cr = frame.pose @ np.linalg.inv(t_ref)
+            # anchor on the keyframe's stable uid: slots are recycled after
+            # culling (reference records pKF + Tcr the same way,
+            # src/Tracking.cc:371-387)
             self.trajectory.append(
-                (ts, t_cr.copy(), int(self.ref_kf), self.state != TrackState.OK)
+                (ts, t_cr.copy(), int(self.map.kf_uid[self.ref_kf]),
+                 self.state != TrackState.OK)
             )
             self.stats["tracked_frames"] += 1
         return self.state
@@ -582,20 +602,17 @@ class Tracker:
         )
         uv_proj = np.where(np.isfinite(uv_proj), uv_proj, 0.0).astype(np.float32)
 
-        for radius in (cfg.motion_radius, 2 * cfg.motion_radius):
-            res = _np(
-                frame_ops.match_frame_to_frame(
-                    jnp.asarray(last.feats["uv_und"]), jnp.asarray(last.feats["desc_bits"]),
-                    jnp.asarray(last.feats["size"]), jnp.asarray(has_pt),
-                    jnp.asarray(uv_proj), jnp.asarray(proj_valid),
-                    jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
-                    jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
-                    jnp.asarray(last.feats["angle"]), jnp.asarray(frame.feats["angle"]),
-                    radius, cfg.match_th,
-                )
+        res = _np(
+            frame_ops.match_frame_to_frame_2r(
+                jnp.asarray(last.feats["uv_und"]), jnp.asarray(last.feats["desc_bits"]),
+                jnp.asarray(last.feats["size"]), jnp.asarray(has_pt),
+                jnp.asarray(uv_proj), jnp.asarray(proj_valid),
+                jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
+                jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
+                jnp.asarray(last.feats["angle"]), jnp.asarray(frame.feats["angle"]),
+                float(cfg.motion_radius), cfg.match_th, cfg.min_motion_matches,
             )
-            if int(res["valid"].sum()) >= cfg.min_motion_matches:
-                break
+        )
         if int(res["valid"].sum()) < cfg.min_motion_matches:
             self._dbg(f"motion-model: only {int(res['valid'].sum())} matches")
             return False
@@ -695,25 +712,22 @@ class Tracker:
             idx = np.concatenate([cand, np.zeros(pad, np.int64)])
             pad_valid = np.concatenate([np.ones(len(cand), bool), np.zeros(pad, bool)])
 
-            uv, dist, viewcos, pred_size, visible = frame_ops.project_points(
-                jnp.asarray(self.map.pt_pos[idx]), jnp.asarray(self.map.pt_normal[idx]),
-                jnp.asarray(self.map.pt_min_dist[idx]), jnp.asarray(self.map.pt_max_dist[idx]),
-                jnp.asarray(self.map.pt_ref_size[idx]), jnp.asarray(self.map.pt_ref_dist[idx]),
-                jnp.asarray(frame.pose), float(self.cam.fx), float(self.cam.fy),
-                float(self.cam.cx), float(self.cam.cy),
-                jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
-            )
-            visible = np.asarray(visible) & pad_valid
-            self.map.pt_visible[idx[visible]] += 1
             res = _np(
-                frame_ops.match_by_projection(
-                    uv, pred_size, viewcos,
-                    jnp.asarray(self.map.pt_desc_bits[idx]), jnp.asarray(visible),
+                frame_ops.project_and_match(
+                    jnp.asarray(self.map.pt_pos[idx]), jnp.asarray(self.map.pt_normal[idx]),
+                    jnp.asarray(self.map.pt_min_dist[idx]), jnp.asarray(self.map.pt_max_dist[idx]),
+                    jnp.asarray(self.map.pt_ref_size[idx]), jnp.asarray(self.map.pt_ref_dist[idx]),
+                    jnp.asarray(self.map.pt_desc_bits[idx]), jnp.asarray(pad_valid),
+                    jnp.asarray(frame.pose), float(self.cam.fx), float(self.cam.fy),
+                    float(self.cam.cx), float(self.cam.cy),
+                    jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
                     jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
                     jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
                     cfg.local_radius, cfg.match_th, cfg.local_ratio,
                 )
             )
+            visible = res["visible"]
+            self.map.pt_visible[idx[visible]] += 1
             matches = frame.matches.copy()
             src = np.nonzero(res["valid"])[0]
             # don't overwrite existing matches

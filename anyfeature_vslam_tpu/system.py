@@ -370,6 +370,7 @@ def run_sequence(
     vocabulary_folder: str | None = None,
     sensor: str = "monocular",
     bf: float = 0.0,
+    n_features: int | None = None,
 ):
     """End-to-end: load sequence, run SLAM, save trajectory. Returns System.
 
@@ -398,7 +399,7 @@ def run_sequence(
     system = System(
         seq.camera, feature=feature, fps=seq.fps,
         feature_settings=feature_settings, vocabulary_path=vocabulary_path,
-        sensor=sensor, bf=bf,
+        sensor=sensor, bf=bf, n_features=n_features,
     )
     n = len(seq.image_paths) if max_frames is None else min(max_frames, len(seq.image_paths))
     loader = native.FrameLoader(
