@@ -7,9 +7,13 @@ information 1/sigma^2, Huber kernel delta = sqrt(5.991), FOUR outer rounds of
 inlier/outlier at chi2 = 5.991 (2 dof); the robust kernel is dropped for the
 final round (reference drops it entering round 3, src/Optimizer.cc:425-428).
 
-The whole solve is one fixed-trip-count XLA program: residuals/Jacobians for
-all N observations in parallel, 6x6 normal equations, lax.fori_loop over LM
-steps. Left-multiplicative update T <- exp(xi) T with xi = (rho, phi).
+The whole solve is one XLA program: residuals/Jacobians for all N
+observations in parallel, 6x6 normal equations, lax.while_loop over LM steps
+bounded by the reference's 10-iteration schedule with a convergence early
+exit (sequential tiny iterations are latency-bound on TPU; exiting once
+|dx| is below float32 pose resolution is numerically identical to running
+the fixed schedule out). Left-multiplicative update T <- exp(xi) T with
+xi = (rho, phi).
 """
 
 from __future__ import annotations
@@ -25,6 +29,10 @@ CHI2_MONO = 5.991  # 2-dof 95% (reference src/Optimizer.cc:39-51)
 HUBER_DELTA = jnp.sqrt(CHI2_MONO)
 N_ROUNDS = 4
 N_ITERS = 10
+# early-exit step tolerance: an LM step with max|dx| below this cannot change
+# the pose at float32 resolution, so the remaining fixed-schedule iterations
+# are no-ops (see lm_step)
+DX_TOL = 1e-7
 
 
 def _residuals_jac(t_cw, pts_w, uv, fx, fy, cx, cy):
@@ -105,8 +113,12 @@ def pose_optimize(t_cw0, pts_w, uv, inv_sigma2, valid, fx, fy, cx, cy):
             c2 = _chi2(e, inv_sigma2)
             return jnp.sum(jnp.where(inlier, _robust_cost(c2, use_huber), 0.0))
 
-        def lm_step(carry, _):
-            t_cw, lam, cost = carry
+        def lm_cond(carry):
+            i, _, _, _, done = carry
+            return (i < N_ITERS) & ~done
+
+        def lm_step(carry):
+            i, t_cw, lam, cost, _ = carry
             e, j, _ = _residuals_jac(t_cw, pts_w, uv, fx, fy, cx, cy)
             c2 = _chi2(e, inv_sigma2)
             w = _huber_weight(c2, use_huber) * inv_sigma2
@@ -123,11 +135,19 @@ def pose_optimize(t_cw0, pts_w, uv, inv_sigma2, valid, fx, fy, cx, cy):
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             lam = jnp.clip(lam, 1e-10, 1e6)
-            return (t_cw, lam, cost), None
+            # converged: |dx| below float32 pose resolution. Once the step is
+            # this small it can never be meaningfully accepted again (a reject
+            # only raises lambda, shrinking the next step further), so exiting
+            # is numerically identical to running out the fixed schedule —
+            # the TPU-native answer to a sequential-latency-bound solver.
+            done = jnp.max(jnp.abs(dx)) < DX_TOL
+            return (i + 1, t_cw, lam, cost, done)
 
         init_cost = cost_at(t_cw)
-        (t_cw, _, _), _ = jax.lax.scan(
-            lm_step, (t_cw, jnp.float32(1e-3), init_cost), None, length=N_ITERS
+        _, t_cw, _, _, _ = jax.lax.while_loop(
+            lm_cond,
+            lm_step,
+            (jnp.int32(0), t_cw, jnp.float32(1e-3), init_cost, jnp.bool_(False)),
         )
         # re-classify ALL observations (outliers can come back, reference
         # src/Optimizer.cc:396-414)
