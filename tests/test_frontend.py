@@ -146,3 +146,26 @@ def test_descriptor_matches_across_shift():
             good += 1
     assert matched > 30
     assert good / matched > 0.75, f"{good}/{matched} shifted descriptors matched"
+
+
+def test_mxu_patch_gather_matches_dynamic_slice():
+    """The one-hot matmul gather (TPU path) must agree with the exact
+    dynamic-slice gather to well below image noise (bf16x3 product with a
+    0/1 selector; see orientation._gather_patches_mxu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anyfeature_vslam_tpu.frontend import orientation
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, (100, 120)).astype(np.float32))
+    xy = jnp.asarray(rng.uniform([0, 0], [119, 99], (64, 2)).astype(np.float32))
+    r = orientation.PATCH_RADIUS
+    ref = orientation.gather_patches(img, xy, r)  # cpu backend -> dslice
+    padded = jnp.pad(img, r, mode="edge")
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, 119)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, 99)
+    mxu = jax.jit(orientation._gather_patches_mxu, static_argnums=3)(
+        padded, yi, xi, 2 * r + 1
+    )
+    assert float(jnp.abs(ref - mxu).max()) < 0.01
