@@ -55,7 +55,18 @@ def select_spread_topk(score, budget: int, border: int = 16):
     cells = padded.reshape(gy, ch, gx, cw).transpose(0, 2, 1, 3).reshape(gy * gx, ch * cw)
 
     k = min(K_CELL, ch * cw)
-    cell_scores, cell_arg = jax.lax.top_k(cells, k)  # (G, k)
+    # top-k via k rounds of (max, argmax, mask-out): for k=4 this is pure
+    # VPU reduction work and beats lax.top_k's sort-based lowering on TPU
+    col = jax.lax.broadcasted_iota(jnp.int32, cells.shape, 1)
+    cur = cells
+    scores_l, args_l = [], []
+    for _ in range(k):
+        am = jnp.argmax(cur, axis=1)
+        scores_l.append(jnp.max(cur, axis=1))
+        args_l.append(am)
+        cur = jnp.where(col == am[:, None], -jnp.inf, cur)
+    cell_scores = jnp.stack(scores_l, axis=1)  # (G, k)
+    cell_arg = jnp.stack(args_l, axis=1)
     # flat pixel coords of each candidate
     cy = cell_arg // cw
     cx = cell_arg % cw
