@@ -27,26 +27,59 @@ def level_shapes(height: int, width: int, n_levels: int, scale_factor: float):
 def _resize_weights(n_in: int, n_out: int):
     """(n_out, n_in) bilinear (anti-aliased) resize matrix along one axis.
 
-    Built by resizing the identity with jax.image.resize itself, so the
-    matmul path reproduces its sampling exactly; the identity resize is a
-    compile-time constant XLA folds away.
+    Computed in numpy at trace time (lru-cached) and embedded as a literal
+    constant: building it by resizing an identity with jax.image.resize
+    left a per-frame gather program in the graph whenever XLA declined to
+    fold it. Matches jax.image.resize's triangle-kernel sampling to ~2e-5
+    (same half-pixel centers, antialias stretch, edge renormalization).
     """
-    return jax.image.resize(
-        jnp.eye(n_in, dtype=jnp.float32), (n_out, n_in), method="bilinear"
-    )
+    return jnp.asarray(_resize_weights_np(n_in, n_out))
+
+
+def _resize_weights_np(n_in: int, n_out: int):
+    key = (n_in, n_out)
+    cached = _RESIZE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    scale = n_out / n_in
+    inv = 1.0 / scale
+    radius = max(1.0, inv)
+    out = _np.zeros((n_out, n_in), _np.float32)
+    for i in range(n_out):
+        x = (i + 0.5) * inv - 0.5
+        lo = int(_np.floor(x - radius))
+        hi = int(_np.ceil(x + radius)) + 1
+        js = _np.arange(max(lo, 0), min(hi, n_in))
+        t = (js - x) * min(scale, 1.0)
+        w = _np.maximum(0.0, 1.0 - _np.abs(t))
+        s = w.sum()
+        if s > 0:
+            out[i, js] = w / s
+    _RESIZE_CACHE[key] = out
+    return out
+
+
+_RESIZE_CACHE: dict = {}
 
 
 def build_pyramid(image, n_levels: int, scale_factor: float):
     """image (H, W) float32 in [0, 255] -> list of per-level images.
 
     Bilinear downsampling (matches cv::resize INTER_LINEAR closely enough
-    for detection statistics). Each level is two small matmuls against
-    constant interpolation matrices — bilinear resize is a separable linear
-    map, and on TPU the MXU runs it ~10x faster than the gather-based
-    lowering of jax.image.resize.
+    for detection statistics), cascaded level-to-level like the reference
+    (src/ORBextractor.cc:652 resizes from the previous level). Each level
+    is two MXU matmuls against literal-constant interpolation matrices at
+    bf16x3 (pixels accurate to ~1e-4 gray levels). A pre-composed
+    all-levels-in-one-matmul variant was measured SLOWER on v5e (the
+    block-diagonal waste exceeds the saved launches) — per-level matmuls
+    with numpy-literal weights are the fast form.
     """
     h, w = image.shape
+    if n_levels == 1:
+        return [image]
     shapes = level_shapes(h, w, n_levels, scale_factor)
+    x3 = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+
     levels = [image]
     for lvl in range(1, n_levels):
         # Resize from the previous level (cascade, like the reference) to
@@ -56,10 +89,10 @@ def build_pyramid(image, n_levels: int, scale_factor: float):
         wc = _resize_weights(w1, w2)   # (w2, w1)
         prev = levels[-1]
         rows = jnp.dot(wr, prev, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=x3)
         levels.append(
             jnp.dot(rows, wc.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=x3)
         )
     return levels
 
