@@ -144,3 +144,37 @@ def test_ba_invalid_obs_ignored():
     poses_o, pts_o, chi2, _ = run_ba(poses_n, pts_n, free, obs, n_iters=10)
     assert pose_error_scale_aligned(poses_o, poses_gt) < 0.02
     assert np.all(np.isinf(np.asarray(chi2)[bad]))
+
+
+def test_dense_schur_matches_cg_path():
+    """The small-problem dense-Schur solver and the matrix-free CG solver
+    must converge to the same optimum on the same schedule (the dense solve
+    is exact where CG is 25-step-approximate, so compare reprojection cost
+    and recovered geometry, not bitwise state)."""
+    import jax
+
+    pts, poses, poses_n, pts_n, obs = synth_ba(n_kf=6, n_pt=150)
+    free = np.ones(6, bool)
+    free[0] = False
+    args = (
+        jnp.asarray(poses_n), jnp.asarray(pts_n), jnp.asarray(free),
+        jnp.asarray(obs["obs_kf"]), jnp.asarray(obs["obs_pt"]),
+        jnp.asarray(obs["obs_uv"]), jnp.asarray(obs["obs_w"]),
+        jnp.asarray(obs["obs_valid"]), FX, FY, CX, CY,
+    )
+    dense = ba._bundle_adjust_dense_impl(*args, n_iters=10)
+    cg = jax.jit(
+        lambda *a: ba._bundle_adjust_impl(*a, n_iters=10, n_cg=50)
+    )(*args)
+    # both must reach the noise floor
+    c_dense = float(jnp.sum(jnp.where(jnp.isfinite(dense[2]), dense[2], 0.0)))
+    c_cg = float(jnp.sum(jnp.where(jnp.isfinite(cg[2]), cg[2], 0.0)))
+    n_obs = len(obs["obs_kf"])
+    assert c_dense / n_obs < 0.5
+    assert abs(c_dense - c_cg) / c_cg < 0.02, (c_dense, c_cg)
+    # camera centers agree
+    cd = np.asarray(dense[0])
+    cc = np.asarray(cg[0])
+    centers_d = -np.einsum("kij,kj->ki", cd[:, :3, :3].transpose(0, 2, 1), cd[:, :3, 3])
+    centers_c = -np.einsum("kij,kj->ki", cc[:, :3, :3].transpose(0, 2, 1), cc[:, :3, 3])
+    assert np.abs(centers_d - centers_c).max() < 5e-3
