@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .frontend.extractor import ExtractorConfig, extract_orb
+from .frontend.extractor import ExtractorConfig, extract_features
 from .ops import matching, pose_opt
 from .slam.frame_ops import MAX_SIZE
 
@@ -42,7 +42,7 @@ def tracking_step(
 
     Returns (pose, n_inliers, feats_dict).
     """
-    feats = extract_orb(image, cfg, height, width)
+    feats = extract_features(image, cfg, height, width)
     radius = 15.0 * matching.RADIUS_SCALE * jnp.clip(prev_size, 1.0, MAX_SIZE)
     best, idx, second = matching.guided_best_two(
         prev_bits, feats["desc_bits"], prev_uv_proj, feats["xy"],

@@ -8,19 +8,28 @@ point: the pipeline is feature-agnostic; reference include/Types.h:11-124
 enumerates the 9 types). All outputs are fixed-capacity arrays with
 validity masks.
 
-Feature registry (detector family x descriptor family; approximations are
-documented in frontend/dog.py and frontend/graddesc.py):
+Feature registry (detector family x descriptor family):
 
-  name            detector       descriptor      dist     reference
-  orb32           FAST           bin256          Hamming  src/Feature_orb32.cpp
-  brisk48         FAST (AGAST)   bin384          Hamming  src/Feature_brisk48.cpp
-  akaze61         DoG (nonlin.)  bin488          Hamming  src/Feature_akaze61.cpp
-  anyfeat_bin     FAST (AGAST)   bin512 (FREAK)  Hamming  src/Feature_anyFeatBin.cpp
-  sift128         DoG            grad128         L2SQR    src/Feature_sift128.cpp
-  surf64          DoG (Hessian)  grad64          L2SQR    src/Feature_surf64.cpp
-  kaze64          DoG (nonlin.)  grad64          L2SQR    src/Feature_kaze64.cpp
-  anyfeat_nonbin  FAST (AGAST)   grad48 (VGG)    L2SQR    src/Feature_anyFeatNonBin.cpp
-  r2d2_128        precomputed    float128        L2SQR    src/Feature_r2d2_128.cpp
+  name            detector                 descriptor            dist     reference
+  orb32           FAST-9/16 pyramid        steered BRIEF-256     Hamming  src/Feature_orb32.cpp
+  brisk48         FAST-9/16 pyramid (*)    BRISK rings 384       Hamming  src/Feature_brisk48.cpp
+  akaze61         FED nonlinear det(H)     M-LDB 486(->488)      Hamming  src/Feature_akaze61.cpp
+  anyfeat_bin     FAST-9/16 pyramid (*)    FREAK retina 512      Hamming  src/Feature_anyFeatBin.cpp
+  sift128         DoG                      SIFT 4x4x8 = 128      L2SQR    src/Feature_sift128.cpp
+  surf64          DoG Hessian              SURF-style 64         L2SQR    src/Feature_surf64.cpp
+  kaze64          FED nonlinear det(H)     M-SURF 64             L2SQR    src/Feature_kaze64.cpp
+  anyfeat_nonbin  FAST-9/16 pyramid (*)    grad48 (VGG stand-in) L2SQR    src/Feature_anyFeatNonBin.cpp
+  r2d2_128        precomputed              float128              L2SQR    src/Feature_r2d2_128.cpp
+
+(*) The reference detects brisk48/anyfeat_* with AGAST (src/Feature_
+anyFeatBin.cpp:28-34). AGAST-9/16 evaluates the SAME accelerated-segment-
+test corner criterion as FAST-9/16 — its contribution is a faster DECISION
+TREE for sparse CPU evaluation (Mair et al. 2010). Our detector is a dense
+VPU stencil that evaluates every pixel's segment test exactly (frontend/
+fast.py), so the AGAST tree would change nothing about which pixels fire;
+per-family thresholds come from the registry. Remaining stand-ins are
+documented in frontend/dog.py (sift/surf detection) and frontend/
+graddesc.py (sift128/anyfeat_nonbin descriptors).
 
 Per-level feature budgets follow the reference's geometric split
 (src/FeatureExtractor.cpp:97-108). Size/sigma normalization maps the raw
@@ -38,7 +47,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import brief, dog, fast, graddesc, orientation, pallas_fast, pyramid, select
+from . import (
+    brief, dog, fast, graddesc, mldb, msurf, nonlinear, orientation,
+    pallas_fast, pyramid, ringdesc, select,
+)
 
 ORB_MAX_SIZE = 1.2 ** 7
 
@@ -46,11 +58,11 @@ ORB_MAX_SIZE = 1.2 ** 7
 FEATURE_REGISTRY = {
     "orb32": ("fast", "bin256", 8, 1.2, 20.0, 75.0),
     "brisk48": ("fast", "bin384", 8, 1.5, 34.0, 120.0),
-    "akaze61": ("dog_norm", "bin488", 8, 1.1892, 0.0005, 128.0),
+    "akaze61": ("akaze", "bin488", 8, 1.1892, 1e-5, 128.0),
     "anyfeat_bin": ("fast", "bin512", 8, 1.2, 20.0, 128.0),
     "sift128": ("dog", "grad128", 8, 2.0, 10.0, 0.5),
     "surf64": ("hessian", "grad64", 8, 1.2, 100.0, 0.04),
-    "kaze64": ("dog_norm", "grad64", 8, 1.1892, 0.0005, 0.1),
+    "kaze64": ("kaze", "grad64", 8, 1.1892, 1e-5, 0.1),
     "anyfeat_nonbin": ("fast", "grad48", 8, 1.2, 20.0, 0.5),
     "r2d2_128": ("precomputed", "float128", 1, 2.0, 1.0, 0.38),
 }
@@ -132,6 +144,8 @@ def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
     """Detect + describe. image: (H, W) float32 0..255. Returns the SoA
     feature dict (see Frame layout in slam/map_state.py)."""
     image = image.reshape(height, width)
+    if cfg.detector in ("akaze", "kaze"):
+        return _extract_nonlinear(image, cfg)
     levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
     budgets = cfg.level_budgets
     scales = cfg.level_scales
@@ -149,7 +163,13 @@ def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
         else:
             score = dog.dog_score_map(img_l, cfg.detect_th, mode=cfg.detector)
         xy, resp, valid = select.select_spread_topk(score, budgets[lvl], cfg.border)
-        if cfg.descriptor.startswith("bin"):
+        if cfg.descriptor == "bin384":
+            # BRISK rings sample the RAW level image: per-point Gaussian
+            # smoothing lives inside the constant stamp matrix
+            ang, desc = ringdesc.describe_ring(img_l, xy, valid, "brisk")
+        elif cfg.descriptor == "bin512":
+            ang, desc = ringdesc.describe_ring(img_l, xy, valid, "freak")
+        elif cfg.descriptor.startswith("bin"):
             # one patch gather from the blurred level serves BOTH the
             # IC-angle moments and the BRIEF sampling (per-keypoint patch
             # gathers are the slowest op class on TPU; halving them is
@@ -190,7 +210,75 @@ def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "height", "width"))
-def extract_orb(image, cfg: ExtractorConfig, height: int, width: int):
-    """Back-compat alias used by the flagship/bench path."""
-    return extract_features(image, cfg, height, width)
+def _extract_nonlinear(image, cfg: ExtractorConfig):
+    """AKAZE/KAZE path: FED nonlinear-diffusion scale space (real, replacing
+    the round-1 Gaussian-DoG stand-in), det(Hessian) extrema across
+    evolution levels, M-LDB (akaze61) / M-SURF (kaze64) descriptors.
+    Reference semantics: src/Feature_akaze61.cpp:24-77 (omax = nOctaves/4,
+    nsublevels = nOctaves/2), src/Feature_kaze64.cpp:21-33 (cv::KAZE, no
+    octave downsampling). Per the reference, SIZE normalization runs on the
+    EVOLUTION INDEX (GetKeypointOctave = class_id = evolution level,
+    src/Feature_akaze61.cpp:63-69) while the stored keypoint `octave` —
+    which matching-level gates such as SearchForInitialization's
+    level-0-only filter consume — is libAKAZE's TRUE octave (0..omax-1),
+    so all sublevels of octave 0 participate in two-view init."""
+    img01 = image * jnp.float32(1.0 / 255.0)
+    downsample = cfg.detector == "akaze"
+    levels = nonlinear.build_evolution(img01, cfg.n_levels, downsample=downsample)
+    score_maps = nonlinear.detect_scores(levels)
+    budgets = cfg.level_budgets
+
+    outs = {k: [] for k in ("xy", "resp", "octave", "angle", "desc_bits", "valid")}
+    evo_idx = []  # evolution index per slot (drives size normalization)
+    for lvl, (ev, smap) in enumerate(zip(levels, score_maps)):
+        smap = jnp.where(smap > cfg.detect_th, smap, 0.0)
+        # border scales with the level's own resolution
+        border = max(cfg.border // (2 ** ev.octave if downsample else 1), 6)
+        xy, resp, valid = select.select_spread_topk(smap, budgets[lvl], border)
+        if cfg.descriptor.startswith("bin"):
+            ang, desc = mldb.describe_mldb(ev.L, ev.Lx, ev.Ly, xy, valid, ev.sigma_rel)
+        else:
+            if downsample or ev.octave == 0:
+                gx, gy, dxy, spacing = ev.Lx, ev.Ly, xy, ev.sigma_rel
+            else:
+                # KAZE keeps full resolution; decimate the (already
+                # sigma>=2^o-smoothed) derivative maps so the descriptor
+                # sample matrices stay bounded
+                f = 2 ** ev.octave
+                h, w = ev.Lx.shape
+                h2, w2 = max(h // f, 16), max(w // f, 16)
+                wr = jnp.asarray(pyramid._resize_weights_np(h, h2))
+                wc = jnp.asarray(pyramid._resize_weights_np(w, w2))
+                gx = jnp.dot(wr, jnp.dot(ev.Lx, wc.T))
+                gy = jnp.dot(wr, jnp.dot(ev.Ly, wc.T))
+                dxy = xy / f
+                spacing = ev.sigma / f
+            ang, desc = msurf.describe_kaze(gx, gy, dxy, valid, spacing)
+        # map level coords to image coords
+        up = float(2 ** ev.octave) if downsample else 1.0
+        outs["xy"].append(xy * up)
+        outs["resp"].append(resp)
+        outs["octave"].append(jnp.full((budgets[lvl],), ev.octave, dtype=jnp.int32))
+        evo_idx.append(jnp.full((budgets[lvl],), lvl, dtype=jnp.int32))
+        outs["angle"].append(ang)
+        outs["desc_bits"].append(desc)
+        outs["valid"].append(valid)
+
+    xy = jnp.concatenate(outs["xy"])
+    octave = jnp.concatenate(outs["octave"])
+    size = _normalized_size(cfg, jnp.concatenate(evo_idx).astype(jnp.float32))
+    sigma2 = size * size
+    valid = jnp.concatenate(outs["valid"])
+    return dict(
+        xy=xy,
+        resp=jnp.concatenate(outs["resp"]),
+        octave=octave,
+        angle=jnp.concatenate(outs["angle"]),
+        size=size,
+        sigma2=sigma2,
+        inv_sigma2=jnp.where(valid, 1.0 / sigma2, 0.0),
+        desc_bits=jnp.concatenate(outs["desc_bits"]),
+        valid=valid,
+    )
+
+

@@ -397,4 +397,8 @@ def initialize_two_view(uv1, uv2, valid, k_mat, seed):
         used_homography=use_h,
         rh=rh,
         n_good=best_good,
+        # diagnostics (which gate failed, for debug logging)
+        n_inliers=n_inliers,
+        second_good=second,
+        parallax_deg=par[best_cand],
     )

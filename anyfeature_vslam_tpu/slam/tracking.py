@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_orb
+from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_features
 from anyfeature_vslam_tpu.ops import camera as cam_ops
 from anyfeature_vslam_tpu.ops import initializer, pose_opt
 from anyfeature_vslam_tpu.ops import se3 as se3_ops
@@ -97,7 +97,7 @@ def _pad_pow2(n, lo=256):
 def _extract_undistort(img, cam, cfg, height: int, width: int):
     """Extraction + keypoint undistortion fused into one dispatch (the
     reference Frame ctor does both before Track(), src/Frame.cc:171-242)."""
-    feats = extract_orb(img, cfg, height, width)
+    feats = extract_features(img, cfg, height, width)
     feats["uv_und"] = cam_ops.undistort_points(cam, feats["xy"]).astype(jnp.float32)
     return feats
 
@@ -191,7 +191,7 @@ class Tracker:
         the left keypoints; disparity -> depth (reference Frame stereo ctor,
         src/Frame.cc:60-95; row search replaces ComputeStereoMatches)."""
         right = _np(
-            extract_orb(jnp.asarray(img_right), self.ext_cfg,
+            extract_features(jnp.asarray(img_right), self.ext_cfg,
                         img_right.shape[0], img_right.shape[1])
         )
         bf = float(self.cfg.bf)

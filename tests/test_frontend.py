@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import pytest
 
 from anyfeature_vslam_tpu.frontend import fast, select, orientation, brief, pyramid
-from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_orb
+from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_features
 
 TOY = "/root/reference/docs/toy_sequence"
 
@@ -104,7 +104,7 @@ def test_extract_orb_on_real_image():
     seq = dataset.load_sequence(TOY)
     img = dataset.load_gray(seq.image_paths[0])
     cfg = ExtractorConfig(n_features=500)
-    feats = extract_orb(jnp.asarray(img), cfg, img.shape[0], img.shape[1])
+    feats = extract_features(jnp.asarray(img), cfg, img.shape[0], img.shape[1])
     valid = np.asarray(feats["valid"])
     assert valid.sum() > 300, f"only {valid.sum()} keypoints on real image"
     xy = np.asarray(feats["xy"])[valid]
@@ -128,8 +128,8 @@ def test_descriptor_matches_across_shift():
     img = dataset.load_gray(seq.image_paths[0])
     sh = np.roll(img, 8, axis=1)
     cfg = ExtractorConfig(n_features=300)
-    f1 = extract_orb(jnp.asarray(img), cfg, *img.shape)
-    f2 = extract_orb(jnp.asarray(sh), cfg, *img.shape)
+    f1 = extract_features(jnp.asarray(img), cfg, *img.shape)
+    f2 = extract_features(jnp.asarray(sh), cfg, *img.shape)
     b1, v1 = np.asarray(f1["desc_bits"]), np.asarray(f1["valid"])
     b2, v2 = np.asarray(f2["desc_bits"]), np.asarray(f2["valid"])
     xy1, xy2 = np.asarray(f1["xy"]), np.asarray(f2["xy"])

@@ -108,15 +108,15 @@ def _right_image(scene, t_cw):
 def test_stereo_row_matcher(scene):
     """Disparity from the batched row matcher reproduces rendered depth."""
     import jax.numpy as jnp
-    from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_orb
+    from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_features
     from anyfeature_vslam_tpu.slam import frame_ops
 
     pose = line_traj(2)[0]
     img_l, depth = scene.render_with_depth(pose)
     img_r = _right_image(scene, pose)
     cfg = ExtractorConfig(n_features=1000)
-    fl = {k: np.asarray(v) for k, v in extract_orb(jnp.asarray(img_l), cfg, H, W).items()}
-    fr = {k: np.asarray(v) for k, v in extract_orb(jnp.asarray(img_r), cfg, H, W).items()}
+    fl = {k: np.asarray(v) for k, v in extract_features(jnp.asarray(img_l), cfg, H, W).items()}
+    fr = {k: np.asarray(v) for k, v in extract_features(jnp.asarray(img_r), cfg, H, W).items()}
     res = {
         k: np.asarray(v)
         for k, v in frame_ops.match_stereo_rows(

@@ -1,6 +1,6 @@
 import numpy as np, jax, jax.numpy as jnp, time
 from anyfeature_vslam_tpu.flagship import make_example
-from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_orb
+from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_features
 from anyfeature_vslam_tpu.ops import matching, pose_opt
 from anyfeature_vslam_tpu.slam.frame_ops import MAX_SIZE
 
@@ -27,7 +27,7 @@ def mk(stage):
     @jax.jit
     def g(batch):
         def step(c, im):
-            feats = extract_orb(im, cfg, 480, 640)
+            feats = extract_features(im, cfg, 480, 640)
             if stage == 'xy':
                 return c, feats['xy'].sum()
             if stage == 'angle':
