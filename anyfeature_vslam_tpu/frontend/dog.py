@@ -9,16 +9,18 @@ pyramid's own geometric downsampling supplies the octave axis (the
 reference stores the per-keypoint octave the same way,
 Feature_akaze61.cpp:64-66).
 
-Deviation note (by design, not omission): AKAZE/KAZE build a NONLINEAR
-(conduction-limited) scale space to preserve edges; a dense per-pixel PDE
-solver is a poor fit for the MXU/VPU and the downstream pipeline only
-consumes (position, size, response). The Gaussian approximation keeps the
-pluggable-feature capability with TPU-shaped compute.
+Round-2 status: akaze61/kaze64 now use the real FED nonlinear scale space
+(frontend/nonlinear.py), sift128 uses real 3D DoG extrema with subpixel
+refinement (frontend/scalespace.py), and "hessian" below is the real
+scale-normalized determinant-of-Hessian response (scalespace.det_hessian_map).
+This module keeps the simple in-level DoG ("dog"/"dog_norm") as a cheap
+generic blob detector and hosts the per-level SURF response.
 
-Response domains (so the reference yamls' detectionTh values stay usable):
-  - "dog"     : |g(s1) - g(s2)| on raw 0..255 intensity (sift128, th=10)
-  - "dog_norm": same on 0..1-normalized intensity (akaze61/kaze64, th=5e-4)
-  - "hessian" : squared DoG on raw intensity (surf64, th=100)
+Response domains:
+  - "dog"     : |g(s1) - g(s2)| on raw 0..255 intensity (th=10)
+  - "dog_norm": same on 0..1-normalized intensity (th=5e-4)
+  - "hessian" : sigma^4 * det(Hessian of g(sigma)) on raw intensity
+                (surf64, th=100; reference src/Feature_surf64.cpp:30-36)
 """
 
 from __future__ import annotations
@@ -36,12 +38,14 @@ SIGMA_B = 2.0
 def dog_score_map(img, threshold, mode: str = "dog"):
     """(H, W) image -> (H, W) blob response, zero below threshold /
     non-extrema. `mode` selects the response domain (see module doc)."""
-    if mode == "dog_norm":
-        img = img * (1.0 / 255.0)
-    ga = pyramid.gaussian_blur(img, SIGMA_A, radius=3)
-    gb = pyramid.gaussian_blur(img, SIGMA_B, radius=5)
-    resp = jnp.abs(ga - gb)
     if mode == "hessian":
-        resp = resp * resp
+        from . import scalespace
+        resp = scalespace.det_hessian_map(img, sigma=SIGMA_B)
+    else:
+        if mode == "dog_norm":
+            img = img * (1.0 / 255.0)
+        ga = pyramid.gaussian_blur(img, SIGMA_A, radius=3)
+        gb = pyramid.gaussian_blur(img, SIGMA_B, radius=5)
+        resp = jnp.abs(ga - gb)
     score = jnp.where(resp > threshold, resp, 0.0)
     return nms3x3(score)

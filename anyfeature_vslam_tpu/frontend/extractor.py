@@ -15,8 +15,8 @@ Feature registry (detector family x descriptor family):
   brisk48         FAST-9/16 pyramid (*)    BRISK rings 384       Hamming  src/Feature_brisk48.cpp
   akaze61         FED nonlinear det(H)     M-LDB 486(->488)      Hamming  src/Feature_akaze61.cpp
   anyfeat_bin     FAST-9/16 pyramid (*)    FREAK retina 512      Hamming  src/Feature_anyFeatBin.cpp
-  sift128         DoG                      SIFT 4x4x8 = 128      L2SQR    src/Feature_sift128.cpp
-  surf64          DoG Hessian              SURF-style 64         L2SQR    src/Feature_surf64.cpp
+  sift128         SIFT 3D DoG extrema      SIFT 4x4x8 = 128      L2SQR    src/Feature_sift128.cpp
+  surf64          det(Hessian)             SURF-style 64         L2SQR    src/Feature_surf64.cpp
   kaze64          FED nonlinear det(H)     M-SURF 64             L2SQR    src/Feature_kaze64.cpp
   anyfeat_nonbin  FAST-9/16 pyramid (*)    grad48 (VGG stand-in) L2SQR    src/Feature_anyFeatNonBin.cpp
   r2d2_128        precomputed              float128              L2SQR    src/Feature_r2d2_128.cpp
@@ -27,9 +27,11 @@ test corner criterion as FAST-9/16 — its contribution is a faster DECISION
 TREE for sparse CPU evaluation (Mair et al. 2010). Our detector is a dense
 VPU stencil that evaluates every pixel's segment test exactly (frontend/
 fast.py), so the AGAST tree would change nothing about which pixels fire;
-per-family thresholds come from the registry. Remaining stand-ins are
-documented in frontend/dog.py (sift/surf detection) and frontend/
-graddesc.py (sift128/anyfeat_nonbin descriptors).
+per-family thresholds come from the registry. sift128 detection is the
+real 3D scale-space extremum search with subpixel refinement (frontend/
+scalespace.py); surf64 is a true scale-normalized det(Hessian). The one
+remaining stand-in is anyfeat_nonbin's grad48 descriptor approximating
+learned VGG-48 (documented in frontend/graddesc.py).
 
 Per-level feature budgets follow the reference's geometric split
 (src/FeatureExtractor.cpp:97-108). Size/sigma normalization maps the raw
@@ -60,8 +62,14 @@ FEATURE_REGISTRY = {
     "brisk48": ("fast", "bin384", 8, 1.5, 34.0, 120.0),
     "akaze61": ("akaze", "bin488", 8, 1.1892, 1e-5, 128.0),
     "anyfeat_bin": ("fast", "bin512", 8, 1.2, 20.0, 128.0),
-    "sift128": ("dog", "grad128", 8, 2.0, 10.0, 0.5),
-    "surf64": ("hessian", "grad64", 8, 1.2, 100.0, 0.04),
+    # 2.55 = SiftGPU's default DoG threshold 0.02/levels on 0..255 intensity
+    "sift128": ("sift", "grad128", 8, 2.0, 2.55, 0.5),
+    # surf64 matchingTh: the reference yaml's 0.04 is calibrated to
+    # cv::SURF's Haar-wavelet descriptor; our grad64 construction
+    # (graddesc.py) has a wider true-match distance mode (~0.02..0.1 on
+    # unit-norm L2SQR), measured on rendered sequences — 0.12 keeps the
+    # same inlier/outlier separation point
+    "surf64": ("hessian", "grad64", 8, 1.2, 100.0, 0.12),
     "kaze64": ("kaze", "grad64", 8, 1.1892, 1e-5, 0.1),
     "anyfeat_nonbin": ("fast", "grad48", 8, 1.2, 20.0, 0.5),
     "r2d2_128": ("precomputed", "float128", 1, 2.0, 1.0, 0.38),
@@ -146,6 +154,8 @@ def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
     image = image.reshape(height, width)
     if cfg.detector in ("akaze", "kaze"):
         return _extract_nonlinear(image, cfg)
+    if cfg.detector == "sift":
+        return _extract_sift(image, cfg)
     levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
     budgets = cfg.level_budgets
     scales = cfg.level_scales
@@ -282,3 +292,101 @@ def _extract_nonlinear(image, cfg: ExtractorConfig):
     )
 
 
+
+
+def _sift_unit_budgets(total: int, n_units: int, nspo: int):
+    """Geometric per-(octave, slice) budgets summing EXACTLY to `total`
+    (the frame SoA capacity), finer scales first — same shape as the
+    reference per-level split (src/FeatureExtractor.cpp:97-108) over the
+    continuous-scale units."""
+    factor = 0.5 ** (1.0 / nspo)
+    desired = total * (1 - factor) / (1 - factor ** n_units)
+    budgets = []
+    acc = 0
+    for u in range(n_units - 1):
+        b = max(min(int(round(desired)), total - acc - (n_units - 1 - u)), 1)
+        budgets.append(b)
+        acc += b
+        desired *= factor
+    budgets.append(total - acc)
+    return budgets
+
+
+def _extract_sift(image, cfg: ExtractorConfig):
+    """sift128 path: real SIFT detection (frontend/scalespace.py) — per
+    octave, nspo+3 Gaussian slices, 3D DoG extrema with closed-form
+    subpixel/subscale refinement, contrast + edge gates — and the 4x4x8
+    gradient-histogram descriptor with dominant-gradient orientation
+    (graddesc.describe_grad_auto). Reference semantics:
+    src/Feature_sift128.cpp:9-92 (SiftGPU -d 3 -no 8 -e 10; octave
+    recovered from continuous scale at :92, stored in keypoint octave)."""
+    from . import scalespace
+
+    h, w = image.shape
+    nspo = max(cfg.n_levels // 4, 1)          # 8 levels -> 2 slices/octave
+    n_oct = scalespace.n_octaves(h, w, max_octaves=max(cfg.n_levels // nspo, 1))
+    n_units = n_oct * nspo
+    budgets = _sift_unit_budgets(cfg.capacity, n_units, nspo)
+    sig = scalespace.slice_sigmas(nspo)
+
+    inc0 = float(np.sqrt(scalespace.SIGMA0 ** 2 - scalespace.ASSUMED_BLUR ** 2))
+    base = pyramid.gaussian_blur(image, inc0, radius=max(int(np.ceil(3 * inc0)), 1))
+
+    outs = {k: [] for k in ("xy", "resp", "octave", "angle", "desc_bits", "valid")}
+    raw_size = []
+    unit = 0
+    for o in range(n_oct):
+        slices = scalespace.build_octave(base, nspo)
+        dogs = [slices[i + 1] - slices[i] for i in range(nspo + 2)]
+        lh, lw = slices[0].shape
+        border = max(min(cfg.border, min(lh, lw) // 4), 4)
+        for i in range(1, nspo + 1):
+            score, ox, oy, osc = scalespace.dog_extrema_maps(
+                dogs[i - 1], dogs[i], dogs[i + 1], cfg.detect_th
+            )
+            xy, resp, valid = select.select_spread_topk(score, budgets[unit], border)
+            xi = jnp.clip(xy[:, 0].astype(jnp.int32), 0, lw - 1)
+            yi = jnp.clip(xy[:, 1].astype(jnp.int32), 0, lh - 1)
+            xy_ref = xy + jnp.stack([ox[yi, xi], oy[yi, xi]], axis=-1)
+            ang, desc = graddesc.describe_grad_auto(
+                slices[i], xy_ref, valid, dim=cfg.desc_dim
+            )
+            up = float(2 ** o)
+            outs["xy"].append(xy_ref * up)
+            outs["resp"].append(resp)
+            outs["octave"].append(
+                jnp.full((budgets[unit],), o, dtype=jnp.int32)
+            )
+            outs["angle"].append(ang)
+            outs["desc_bits"].append(desc)
+            outs["valid"].append(valid)
+            # refined continuous scale sigma0 * 2^(o + (i + ds)/nspo),
+            # expressed relative to sigma0 for size normalization
+            raw_size.append(
+                (sig[i] / scalespace.SIGMA0)
+                * (2.0 ** (o + osc[yi, xi] / nspo))
+            )
+            unit += 1
+        base = scalespace.downsample2(slices[nspo])
+
+    xy = jnp.concatenate(outs["xy"])
+    octave = jnp.concatenate(outs["octave"])
+    valid = jnp.concatenate(outs["valid"])
+    raw = jnp.concatenate(raw_size)
+    # map continuous raw size onto ORB's [1, 1.2^7] band (computeSize
+    # semantics, src/FeatureExtractor.cpp:132-142)
+    max_raw = (sig[nspo] / scalespace.SIGMA0) * (2.0 ** (n_oct - 1)) * 2.0 ** 0.6
+    raw = jnp.clip(raw, 1.0, max_raw)
+    size = 1.0 + (raw - 1.0) * (ORB_MAX_SIZE - 1.0) / (max_raw - 1.0)
+    sigma2 = size * size
+    return dict(
+        xy=xy,
+        resp=jnp.concatenate(outs["resp"]),
+        octave=octave,
+        angle=jnp.concatenate(outs["angle"]),
+        size=size,
+        sigma2=sigma2,
+        inv_sigma2=jnp.where(valid, 1.0 / sigma2, 0.0),
+        desc_bits=jnp.concatenate(outs["desc_bits"]),
+        valid=valid,
+    )

@@ -114,15 +114,75 @@ def _gradient_maps(img):
     return gx, gy
 
 
-@partial(jax.jit, static_argnames=("dim",))
-def describe_grad(img, xy, angle, valid, dim: int = 128):
-    """Float descriptors (N, dim), unit L2 norm. dim in {48, 64, 128}."""
-    n_comp = {128: 8, 64: 4, 48: 3}[dim]
-    n = xy.shape[0]
+N_ORI_BINS = 36
 
+
+def _ori_weight_np():
+    """Gaussian window over the gathered patch for orientation voting
+    (sigma = half the patch radius, Lowe's 1.5x-scale window)."""
+    half = PATCH_RADIUS
+    ys, xs = np.mgrid[-half:half + 1, -half:half + 1].astype(np.float32)
+    s = PATCH_RADIUS / 2.0
+    return np.exp(-(xs * xs + ys * ys) / (2.0 * s * s)).reshape(-1)
+
+
+_ORI_W = _ori_weight_np()
+
+
+def dominant_angle_from_patches(pgx, pgy):
+    """SIFT dominant orientation: 36-bin gradient histogram over a
+    Gaussian window, smoothed, peak + parabolic interpolation (Lowe 2004
+    sec. 5; the reference gets this from SiftGPU). pgx/pgy: (N, 961)."""
+    mag = jnp.sqrt(pgx * pgx + pgy * pgy + 1e-12) * jnp.asarray(_ORI_W)
+    ori = jnp.arctan2(pgy, pgx)  # [-pi, pi)
+    binf = (ori + jnp.pi) * (N_ORI_BINS / (2.0 * jnp.pi))
+    b0 = jnp.clip(binf.astype(jnp.int32) % N_ORI_BINS, 0, N_ORI_BINS - 1)
+    hist = jnp.einsum(
+        "ns,nsb->nb", mag, jax.nn.one_hot(b0, N_ORI_BINS, dtype=mag.dtype)
+    )
+    # circular smoothing [1, 4, 6, 4, 1] / 16, applied twice
+    for _ in range(2):
+        hist = (
+            6.0 * hist
+            + 4.0 * (jnp.roll(hist, 1, axis=1) + jnp.roll(hist, -1, axis=1))
+            + (jnp.roll(hist, 2, axis=1) + jnp.roll(hist, -2, axis=1))
+        ) * (1.0 / 16.0)
+    peak = jnp.argmax(hist, axis=1)
+    hp = jnp.take_along_axis(hist, peak[:, None], axis=1)[:, 0]
+    hl = jnp.take_along_axis(hist, ((peak - 1) % N_ORI_BINS)[:, None], axis=1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % N_ORI_BINS)[:, None], axis=1)[:, 0]
+    denom = hl - 2.0 * hp + hr
+    frac = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (hl - hr) / denom, 0.0)
+    binc = peak.astype(jnp.float32) + jnp.clip(frac, -0.5, 0.5) + 0.5
+    return (binc * (2.0 * jnp.pi / N_ORI_BINS)) - jnp.pi
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def describe_grad_auto(img, xy, valid, dim: int = 128):
+    """Like describe_grad but computes the keypoint angle internally as
+    the dominant gradient orientation (sharing the patch gathers).
+    Returns (angle, desc)."""
+    n = xy.shape[0]
     gx_map, gy_map = _gradient_maps(img)
     pgx = gather_patches(gx_map, xy, PATCH_RADIUS).reshape(n, _P * _P)
     pgy = gather_patches(gy_map, xy, PATCH_RADIUS).reshape(n, _P * _P)
+    angle = dominant_angle_from_patches(pgx, pgy)
+    return angle, _describe_from_patches(pgx, pgy, angle, valid, dim)
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def describe_grad(img, xy, angle, valid, dim: int = 128):
+    """Float descriptors (N, dim), unit L2 norm. dim in {48, 64, 128}."""
+    n = xy.shape[0]
+    gx_map, gy_map = _gradient_maps(img)
+    pgx = gather_patches(gx_map, xy, PATCH_RADIUS).reshape(n, _P * _P)
+    pgy = gather_patches(gy_map, xy, PATCH_RADIUS).reshape(n, _P * _P)
+    return _describe_from_patches(pgx, pgy, angle, valid, dim)
+
+
+def _describe_from_patches(pgx, pgy, angle, valid, dim: int):
+    n_comp = {128: 8, 64: 4, 48: 3}[dim]
+    n = pgx.shape[0]
 
     # bf16 operands, f32 accumulator: bilinear weights and gradients lose
     # <0.5% relative — invisible after histogram + normalization — and the

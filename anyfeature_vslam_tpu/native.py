@@ -129,6 +129,44 @@ def covisibility_matrix(kf_matches, kf_valid, max_pt: int):
     return out
 
 
+def update_point_stats(
+    kf_matches, kf_valid, kf_desc, kf_size, kf_centers, pt_ids, pt_pos,
+    pt_ref_kf, pt_desc, pt_normal, pt_ref_size, pt_ref_dist, pt_min_dist,
+    pt_max_dist,
+):
+    """One-pass distinctive-descriptor + normal + scale-band recompute for
+    the given point ids. Writes in place into the pt_* arrays; returns True
+    when the native kernel ran, None when unavailable."""
+    l = lib()
+    if l is None:
+        return None
+    k, n = kf_matches.shape
+    d = kf_desc.shape[2]
+    is_binary = 1 if kf_desc.dtype == np.uint8 else 0
+    km = np.ascontiguousarray(kf_matches, np.int32)
+    kv = np.ascontiguousarray(kf_valid, np.uint8)
+    kd = np.ascontiguousarray(kf_desc)
+    ks = np.ascontiguousarray(kf_size, np.float32)
+    kc = np.ascontiguousarray(kf_centers, np.float32)
+    pi = np.ascontiguousarray(pt_ids, np.int64)
+    pp = np.ascontiguousarray(pt_pos, np.float32)
+    pr = np.ascontiguousarray(pt_ref_kf, np.int32)
+    assert pt_desc.flags["C_CONTIGUOUS"] and pt_normal.flags["C_CONTIGUOUS"]
+    vp = ctypes.c_void_p
+    l.update_point_stats(
+        km.ctypes.data_as(vp), kv.ctypes.data_as(vp), kd.ctypes.data_as(vp),
+        ctypes.c_int(is_binary), ks.ctypes.data_as(vp), kc.ctypes.data_as(vp),
+        ctypes.c_int64(k), ctypes.c_int64(n), ctypes.c_int64(d),
+        ctypes.c_int64(pt_pos.shape[0]),
+        pi.ctypes.data_as(vp), ctypes.c_int64(len(pi)),
+        pp.ctypes.data_as(vp), pr.ctypes.data_as(vp),
+        pt_desc.ctypes.data_as(vp), pt_normal.ctypes.data_as(vp),
+        pt_ref_size.ctypes.data_as(vp), pt_ref_dist.ctypes.data_as(vp),
+        pt_min_dist.ctypes.data_as(vp), pt_max_dist.ctypes.data_as(vp),
+    )
+    return True
+
+
 # ------------------------------------------------------------------ loader
 class FrameLoader:
     """Prefetching frame loader over the native decode thread. Falls back

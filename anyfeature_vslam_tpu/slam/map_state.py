@@ -229,13 +229,14 @@ class SlamMap:
 
     def remove_points(self, ids):
         ids = np.asarray(ids, np.int32)
+        if len(ids) == 0:
+            return
         self.pt_valid[ids] = False
-        # erase observations
-        for kf in self.keyframe_ids():
-            m = self.kf_matches[kf]
-            mask = np.isin(m, ids)
-            if mask.any():
-                m[mask] = -1
+        # erase observations (vectorized over the whole match table)
+        drop = np.zeros(self.max_pt, bool)
+        drop[ids] = True
+        mm = self.kf_matches
+        mm[(mm >= 0) & drop[np.maximum(mm, 0)]] = -1
 
     def merge_points(self, keep_ids, drop_ids):
         """Replace each drop point with its keep point everywhere (reference
@@ -250,19 +251,21 @@ class SlamMap:
             return
         drop_arr = np.asarray(list(remap.keys()))
         keep_arr = np.asarray(list(remap.values()))
-        lut = np.arange(self.max_pt)
+        lut = np.arange(self.max_pt, dtype=np.int32)
         lut[drop_arr] = keep_arr
-        for kf in self.keyframe_ids():
-            mm = self.kf_matches[kf]
-            sel = mm >= 0
-            mm[sel] = lut[mm[sel]]
-            seen = {}
-            for slot in np.nonzero(sel)[0]:
-                p = mm[slot]
-                if p in seen:
-                    mm[slot] = -1
-                else:
-                    seen[p] = slot
+        mm = self.kf_matches
+        sel = mm >= 0
+        mm[sel] = lut[mm[sel]]
+        # per-row dedup, first occurrence kept (the reference erases the
+        # duplicate observation in Replace, src/MapPoint.cc:224-236):
+        # stable row sort groups equal ids; every later member of a run is
+        # cleared at its original slot.
+        order = np.argsort(mm, axis=1, kind="stable")
+        sorted_m = np.take_along_axis(mm, order, axis=1)
+        dup = (sorted_m[:, 1:] == sorted_m[:, :-1]) & (sorted_m[:, 1:] >= 0)
+        ri, ci = np.nonzero(dup)
+        if len(ri):
+            mm[ri, order[ri, ci + 1]] = -1
         self.pt_found[keep_arr] += self.pt_found[drop_arr]
         self.pt_visible[keep_arr] += self.pt_visible[drop_arr]
         self.pt_valid[drop_arr] = False
@@ -270,19 +273,21 @@ class SlamMap:
 
     # ----------------------------------------------------------- structure
     def observations_of_points(self, pt_ids):
-        """COO (kf, slot, pt) observation triples for the given points."""
-        pt_set = set(int(p) for p in pt_ids)
-        kfs, slots, pts = [], [], []
-        for kf in self.keyframe_ids():
-            m = self.kf_matches[kf]
-            sl = np.nonzero((m >= 0) & np.isin(m, list(pt_set)))[0]
-            kfs.extend([kf] * len(sl))
-            slots.extend(sl.tolist())
-            pts.extend(m[sl].tolist())
+        """COO (kf, slot, pt) observation triples for the given points.
+        Fully vectorized over the (K, N) match table."""
+        pt_ids = np.asarray(pt_ids)
+        if len(pt_ids) == 0:
+            return (np.zeros(0, np.int32),) * 3
+        want = np.zeros(self.max_pt, bool)
+        want[pt_ids] = True
+        kfs = self.keyframe_ids()
+        m = self.kf_matches[kfs]
+        sel = (m >= 0) & want[np.maximum(m, 0)]
+        ki, slots = np.nonzero(sel)
         return (
-            np.asarray(kfs, np.int32),
-            np.asarray(slots, np.int32),
-            np.asarray(pts, np.int32),
+            kfs[ki].astype(np.int32),
+            slots.astype(np.int32),
+            m[ki, slots].astype(np.int32),
         )
 
     def point_observation_counts(self, stereo_weighted: bool = False):
@@ -348,12 +353,28 @@ class SlamMap:
         """Recompute distinctive descriptor, mean normal and scale band for
         points (reference MapPoint::ComputeDistinctiveDescriptors :279-349,
         UpdateNormalAndDepth :372-430)."""
+        from anyfeature_vslam_tpu import native
+
         if pt_ids is None:
             pt_ids = np.nonzero(self.pt_valid)[0]
         pt_ids = np.asarray(pt_ids)
         if len(pt_ids) == 0:
             return
-        # gather observations per point
+        # camera centers of all valid keyframes (vectorized)
+        kf_centers = np.zeros((self.max_kf, 3), np.float32)
+        live = self.keyframe_ids()
+        if len(live):
+            r = self.kf_pose[live, :3, :3]
+            t = self.kf_pose[live, :3, 3]
+            kf_centers[live] = -np.einsum("kij,ki->kj", r, t)
+        if native.update_point_stats(
+            self.kf_matches, self.kf_valid, self.kf_desc_bits, self.kf_size,
+            kf_centers, pt_ids, self.pt_pos, self.pt_ref_kf,
+            self.pt_desc_bits, self.pt_normal, self.pt_ref_size,
+            self.pt_ref_dist, self.pt_min_dist, self.pt_max_dist,
+        ):
+            return
+        # numpy fallback (native toolchain unavailable)
         obs_kf, obs_slot, obs_pt = self.observations_of_points(pt_ids)
         centers = {}
         for kf in np.unique(obs_kf):
@@ -370,7 +391,9 @@ class SlamMap:
                 else:
                     diff = descs[:, None, :] - descs[None, :, :]
                     d = (diff * diff).sum(-1)
-                medians = np.median(d, axis=1)
+                # reference takes sorted row element (N-1)/2, not the
+                # averaged np.median (src/MapPoint.cc:332-341)
+                medians = np.sort(d, axis=1)[:, (len(obs) - 1) // 2]
                 best = int(np.argmin(medians))
             else:
                 best = 0

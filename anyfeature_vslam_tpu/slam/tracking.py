@@ -672,31 +672,28 @@ class Tracker:
         matched = frame.matches[frame.matches >= 0]
         if len(matched) == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        # KFs observing current points
-        obs_counts = {}
+        # KFs observing current points — one vectorized pass over the
+        # (K, N) match table (the per-KF Python loop here was the dominant
+        # per-frame host cost at map scale)
+        kfs = self.map.keyframe_ids()
+        m_all = self.map.kf_matches[kfs]
         pt_mask = np.zeros(self.map.max_pt, bool)
         pt_mask[matched] = True
-        for kf in self.map.keyframe_ids():
-            m = self.map.kf_matches[kf]
-            c = int(pt_mask[m[m >= 0]].sum())
-            if c > 0:
-                obs_counts[kf] = c
-        k1 = sorted(obs_counts, key=obs_counts.get, reverse=True)[: self.cfg.max_local_kfs]
-        local_kfs = list(k1)
-        # neighbors of the best covisible
-        if k1:
-            best = k1[0]
+        counts = ((m_all >= 0) & pt_mask[np.maximum(m_all, 0)]).sum(axis=1)
+        seen = counts > 0
+        order = np.argsort(-counts[seen], kind="stable")
+        k1 = kfs[seen][order][: self.cfg.max_local_kfs]
+        local_kfs = k1.tolist()
+        if len(k1):
+            best = int(k1[0])
             cov, _ = self.map.covisible_keyframes(best, min_weight=15, max_n=10)
-            for kf in cov:
-                if kf not in local_kfs and len(local_kfs) < self.cfg.max_local_kfs:
-                    local_kfs.append(int(kf))
-            self.ref_kf = int(max(obs_counts, key=obs_counts.get))
-        # local points = points of local KFs
-        pts = set()
-        for kf in local_kfs:
-            m = self.map.kf_matches[kf]
-            pts.update(m[m >= 0].tolist())
-        return np.asarray(local_kfs, np.int64), np.asarray(sorted(pts), np.int64)
+            extra = [int(kf) for kf in cov if kf not in set(local_kfs)]
+            local_kfs.extend(extra[: max(self.cfg.max_local_kfs - len(local_kfs), 0)])
+            self.ref_kf = best
+        # local points = union of the local KFs' matched points
+        m_local = self.map.kf_matches[np.asarray(local_kfs, np.int64)]
+        pts = np.unique(m_local[m_local >= 0])
+        return np.asarray(local_kfs, np.int64), pts.astype(np.int64)
 
     def _track_local_map(self, frame: FrameData) -> bool:
         cfg = self.cfg
@@ -704,8 +701,9 @@ class Tracker:
         if len(local_pts) == 0:
             return False
         # exclude points already matched in this frame
-        already = set(frame.matches[frame.matches >= 0].tolist())
-        cand = np.asarray([p for p in local_pts if p not in already], np.int64)
+        cand = np.setdiff1d(
+            local_pts, frame.matches[frame.matches >= 0]
+        ).astype(np.int64)
         if len(cand) > 0:
             bucket = _pad_pow2(len(cand), lo=min(self.cfg.local_pt_bucket, 256))
             pad = bucket - len(cand)
@@ -801,12 +799,77 @@ class Tracker:
             pose, matches, n_in = self._pose_optimize(frame, matches, pose)
             if n_in < 10:
                 continue
+            # coarse/narrow projection add-match rounds (reference
+            # Tracking.cc:1256-1288: radius 10 if nGood<50, re-optimize;
+            # then radius 3 if 30<nGood<50, re-optimize)
+            if n_in < 50:
+                matches2, n_add = self._reloc_add_matches(
+                    frame, kf, matches, pose, radius=10.0
+                )
+                if n_add + n_in >= 50:
+                    pose, matches, n_in = self._pose_optimize(
+                        frame, matches2, pose
+                    )
+                    if 30 < n_in < 50:
+                        matches2, n_add = self._reloc_add_matches(
+                            frame, kf, matches, pose, radius=3.0
+                        )
+                        if n_in + n_add >= 50:
+                            pose, matches, n_in = self._pose_optimize(
+                                frame, matches2, pose
+                            )
+            if n_in < 10:
+                continue
             frame.pose = pose
             frame.matches = matches
             self.ref_kf = kf
             if self._track_local_map(frame) and self.n_inliers >= 50:
                 return True
         return False
+
+    def _reloc_add_matches(self, frame, kf: int, matches, pose, radius: float):
+        """Projection search of the candidate keyframe's map points into the
+        frame, excluding already-matched points (reference
+        SearchByProjection(CurFrame, KF, sFound, r, th),
+        src/FeatureMatcher.cc:1406-1506). Returns (merged matches, n_added)."""
+        m = self.map
+        kf_m = m.kf_matches[kf]
+        cand = np.setdiff1d(
+            np.unique(kf_m[kf_m >= 0]), matches[matches >= 0]
+        ).astype(np.int64)
+        cand = cand[m.pt_valid[cand]]
+        if len(cand) == 0:
+            return matches, 0
+        bucket = _pad_pow2(len(cand), lo=256)
+        idx = np.concatenate([cand, np.zeros(bucket - len(cand), np.int64)])
+        pad_valid = np.concatenate(
+            [np.ones(len(cand), bool), np.zeros(bucket - len(cand), bool)]
+        )
+        res = _np(
+            frame_ops.project_and_match(
+                jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
+                jnp.asarray(m.pt_min_dist[idx]), jnp.asarray(m.pt_max_dist[idx]),
+                jnp.asarray(m.pt_ref_size[idx]), jnp.asarray(m.pt_ref_dist[idx]),
+                jnp.asarray(m.pt_desc_bits[idx]), jnp.asarray(pad_valid),
+                jnp.asarray(pose), float(self.cam.fx), float(self.cam.fy),
+                float(self.cam.cx), float(self.cam.cy),
+                jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
+                jnp.asarray(frame.feats["uv_und"]),
+                jnp.asarray(frame.feats["desc_bits"]),
+                jnp.asarray(frame.feats["size"]),
+                jnp.asarray(frame.feats["valid"]),
+                float(radius), self.cfg.match_th, None,
+            )
+        )
+        merged = matches.copy()
+        src = np.nonzero(res["valid"])[0]
+        n_added = 0
+        for s in src:
+            slot = int(res["idx"][s])
+            if merged[slot] < 0:
+                merged[slot] = int(idx[s])
+                n_added += 1
+        return merged, n_added
 
     # --------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame: FrameData) -> bool:

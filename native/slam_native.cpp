@@ -14,6 +14,8 @@
 // C ABI only; loaded from Python via ctypes (no pybind11 in the image).
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC, libpng+z)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -162,6 +164,136 @@ void covisibility_matrix(const int32_t* kf_matches, const uint8_t* kf_valid,
         out_w[(int64_t)kb * K + ka] += 1;
       }
     }
+  }
+}
+
+// Recompute per-point statistics for P selected points in one pass:
+// distinctive descriptor (min median distance among observers, reference
+// MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc:279-349), mean
+// viewing normal and reference scale band (UpdateNormalAndDepth,
+// src/MapPoint.cc:372-430). Replaces the per-point Python loop that was
+// the orchestrator's hottest host code at map scale.
+//
+// kf_desc: (K, N, D) uint8 bit-bytes when is_binary, else float32.
+// Outputs are written into the full-size pt_* arrays at the pt_ids rows.
+void update_point_stats(
+    const int32_t* kf_matches, const uint8_t* kf_valid, const void* kf_desc,
+    int is_binary, const float* kf_size, const float* kf_centers,
+    int64_t K, int64_t N, int64_t D, int64_t max_pt,
+    const int64_t* pt_ids, int64_t P, const float* pt_pos,
+    const int32_t* pt_ref_kf, void* pt_desc, float* pt_normal,
+    float* pt_ref_size, float* pt_ref_dist, float* pt_min_dist,
+    float* pt_max_dist) {
+  std::vector<int32_t> mark(max_pt, -1);
+  for (int64_t i = 0; i < P; ++i) {
+    int64_t p = pt_ids[i];
+    if (p >= 0 && p < max_pt) mark[p] = (int32_t)i;
+  }
+  // per selected point: list of (kf, slot)
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> obs(P);
+  for (int64_t k = 0; k < K; ++k) {
+    if (!kf_valid[k]) continue;
+    const int32_t* row = kf_matches + k * N;
+    for (int64_t i = 0; i < N; ++i) {
+      int32_t p = row[i];
+      if (p >= 0 && p < max_pt && mark[p] >= 0)
+        obs[mark[p]].emplace_back((int32_t)k, (int32_t)i);
+    }
+  }
+  const uint8_t* descb = (const uint8_t*)kf_desc;
+  const float* descf = (const float*)kf_desc;
+  std::vector<float> dist_row;
+  std::vector<float> med;
+  for (int64_t i = 0; i < P; ++i) {
+    const auto& o = obs[i];
+    int64_t O = (int64_t)o.size();
+    if (O == 0) continue;
+    int64_t p = pt_ids[i];
+    int best = 0;
+    if (O > 1) {
+      // pairwise distances; pick observation with minimal median row
+      med.assign(O, 0.f);
+      std::vector<float> dmat((size_t)O * O, 0.f);
+      for (int64_t a = 0; a < O; ++a) {
+        for (int64_t b = a + 1; b < O; ++b) {
+          float d = 0.f;
+          if (is_binary) {
+            const uint8_t* da =
+                descb + ((size_t)o[a].first * N + o[a].second) * D;
+            const uint8_t* db =
+                descb + ((size_t)o[b].first * N + o[b].second) * D;
+            int64_t c = 0;
+            for (int64_t j = 0; j < D; ++j) c += (da[j] != db[j]);
+            d = (float)c;
+          } else {
+            const float* da =
+                descf + ((size_t)o[a].first * N + o[a].second) * D;
+            const float* db =
+                descf + ((size_t)o[b].first * N + o[b].second) * D;
+            for (int64_t j = 0; j < D; ++j) {
+              float t = da[j] - db[j];
+              d += t * t;
+            }
+          }
+          dmat[a * O + b] = d;
+          dmat[b * O + a] = d;
+        }
+      }
+      float best_med = 1e30f;
+      for (int64_t a = 0; a < O; ++a) {
+        dist_row.assign(dmat.begin() + a * O, dmat.begin() + (a + 1) * O);
+        // reference takes vDists[0.5*(N-1)] of the sorted row
+        int64_t mid = (O - 1) / 2;
+        std::nth_element(dist_row.begin(), dist_row.begin() + mid,
+                         dist_row.end());
+        float m = dist_row[mid];
+        if (m < best_med) {
+          best_med = m;
+          best = (int)a;
+        }
+      }
+    }
+    size_t src = ((size_t)o[best].first * N + o[best].second) * D;
+    if (is_binary)
+      memcpy((uint8_t*)pt_desc + (size_t)p * D, descb + src, (size_t)D);
+    else
+      memcpy((float*)pt_desc + (size_t)p * D, descf + src,
+             (size_t)D * sizeof(float));
+    // mean viewing normal
+    const float* pos = pt_pos + (size_t)p * 3;
+    float nx = 0.f, ny = 0.f, nz = 0.f;
+    for (int64_t a = 0; a < O; ++a) {
+      const float* c = kf_centers + (size_t)o[a].first * 3;
+      float vx = pos[0] - c[0], vy = pos[1] - c[1], vz = pos[2] - c[2];
+      float nrm = std::sqrt(vx * vx + vy * vy + vz * vz);
+      if (nrm < 1e-9f) nrm = 1e-9f;
+      nx += vx / nrm;
+      ny += vy / nrm;
+      nz += vz / nrm;
+    }
+    float inv = 1.0f / (float)O;
+    pt_normal[(size_t)p * 3 + 0] = nx * inv;
+    pt_normal[(size_t)p * 3 + 1] = ny * inv;
+    pt_normal[(size_t)p * 3 + 2] = nz * inv;
+    // reference observation: the ref_kf's if it still observes, else first
+    int32_t rk = o[0].first, rs = o[0].second;
+    int32_t want = pt_ref_kf[p];
+    for (int64_t a = 0; a < O; ++a)
+      if (o[a].first == want) {
+        rk = o[a].first;
+        rs = o[a].second;
+        break;
+      }
+    const float* c = kf_centers + (size_t)rk * 3;
+    float dx = pos[0] - c[0], dy = pos[1] - c[1], dz = pos[2] - c[2];
+    float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
+    float size = kf_size[(size_t)rk * N + rs];
+    pt_ref_size[p] = size;
+    pt_ref_dist[p] = dist;
+    // scale-invariance band (MapPoint.cc:402-431), maxKeyPtSize = 1.2^7
+    const float max_size = 3.58318f;
+    pt_max_dist[p] = 1.2f * dist * size;
+    pt_min_dist[p] = 0.8f * dist * size / max_size;
   }
 }
 

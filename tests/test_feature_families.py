@@ -234,3 +234,80 @@ def test_binary_families_bit_balance(toy_image):
         per_bit = d.mean(0)
         frac_stuck = np.mean((per_bit < 0.02) | (per_bit > 0.98))
         assert frac_stuck < 0.1, (name, frac_stuck)
+
+
+def _blob_image(blobs, h=240, w=320, bg=128.0):
+    """blobs: list of (cx, cy, sigma, amplitude)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.full((h, w), bg, np.float32)
+    for cx, cy, s, a in blobs:
+        img += a * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def test_sift_scale_selection():
+    """3D DoG extrema must select sizes that grow with blob scale
+    (frontend/scalespace.py; reference SiftGPU semantics,
+    src/Feature_sift128.cpp:9-92)."""
+    # sigma=3 sits in octave 0's inner DoG band, sigma=9 in octave 1's
+    # (no initial 2x upsampling — "first octave 0" mode, see
+    # scalespace.py module doc — so sub-sigma0 blobs are out of band)
+    small = [(60.0 + 50 * i, 60.0 + 40 * j, 3.0, 120.0)
+             for i in range(5) for j in range(4)]
+    big = [(35.0 + 60 * i, 35.0 + 60 * j, 9.0, 120.0)
+           for i in range(5) for j in range(3)]
+    img = _blob_image(small + big)
+    cfg = ExtractorConfig.for_feature("sift128", n_features=400)
+    f = {k: np.asarray(v) for k, v in
+         extract_features(jnp.asarray(img), cfg, 240, 320).items()}
+    v = f["valid"]
+    xy, size = f["xy"][v], f["size"][v]
+
+    def nearest_size(cx, cy):
+        d = np.linalg.norm(xy - [cx, cy], axis=1)
+        i = np.argmin(d)
+        return size[i] if d[i] < 4.0 else None
+
+    small_sizes = [s for b in small if (s := nearest_size(b[0], b[1])) is not None]
+    big_sizes = [s for b in big if (s := nearest_size(b[0], b[1])) is not None]
+    assert len(small_sizes) >= 10 and len(big_sizes) >= 8
+    # big blobs must be detected at clearly larger continuous scale
+    assert np.median(big_sizes) > 1.5 * np.median(small_sizes)
+
+
+def test_sift_subpixel_refinement():
+    """Blobs centered off-grid must localize to <0.5 px via the quadratic
+    fit (scalespace.dog_extrema_maps)."""
+    centers = [(60.37, 60.61), (160.73, 100.28), (240.17, 180.84), (80.52, 170.33)]
+    img = _blob_image([(cx, cy, 3.0, 150.0) for cx, cy in centers])
+    cfg = ExtractorConfig.for_feature("sift128", n_features=200)
+    f = {k: np.asarray(v) for k, v in
+         extract_features(jnp.asarray(img), cfg, 240, 320).items()}
+    xy = f["xy"][f["valid"]]
+    hits = 0
+    for cx, cy in centers:
+        d = np.linalg.norm(xy - [cx, cy], axis=1)
+        if d.min() < 0.5:
+            hits += 1
+    assert hits >= 3, f"only {hits}/4 blobs localized to <0.5 px"
+
+
+def test_surf_det_hessian_rejects_edges():
+    """det(Hessian) must fire on blobs but not on a straight step edge
+    (the determinant criterion kills 1D structure; scalespace.det_hessian_map)."""
+    img = _blob_image([(80.0, 60.0, 4.0, 150.0), (240.0, 180.0, 4.0, 150.0)])
+    img[:, 160:] += 60.0  # vertical step edge at x=160
+    img = np.clip(img, 0, 255).astype(np.float32)
+    cfg = ExtractorConfig.for_feature("surf64", n_features=200)
+    f = {k: np.asarray(v) for k, v in
+         extract_features(jnp.asarray(img), cfg, 240, 320).items()}
+    xy = f["xy"][f["valid"]]
+    assert len(xy) >= 2
+    # every detection near the edge line but away from the blobs is a failure
+    near_edge = (np.abs(xy[:, 0] - 160) < 3)
+    for cx, cy in ((80, 60), (240, 180)):
+        near_edge &= np.linalg.norm(xy - [cx, cy], axis=1) > 10
+    assert near_edge.sum() == 0, f"{near_edge.sum()} spurious edge detections"
+    # and the blobs themselves are found
+    for cx, cy in ((80, 60), (240, 180)):
+        assert np.linalg.norm(xy - [cx, cy], axis=1).min() < 3.0

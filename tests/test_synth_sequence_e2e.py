@@ -68,7 +68,10 @@ def family_seq(tmp_path_factory):
 # tracking, mapping — to a sub-2cm Sim3-aligned ATE on the rendered
 # ground-truth circle, not just pass shape checks.
 @pytest.mark.slow
-@pytest.mark.parametrize("feature", ["brisk48", "akaze61", "anyfeat_bin", "kaze64"])
+@pytest.mark.parametrize("feature", [
+    "brisk48", "akaze61", "anyfeat_bin", "kaze64",
+    "sift128", "surf64", "anyfeat_nonbin",
+])
 def test_family_disk_sequence_ate(family_seq, tmp_path, feature):
     from anyfeature_vslam_tpu.system import run_sequence
     from anyfeature_vslam_tpu.io import evaluation
