@@ -248,13 +248,17 @@ def match_stereo_rows(
 @jax.jit
 def match_for_triangulation(
     bits1, uv1, valid1, sigma1_inv2, bits2, uv2, valid2, oct2_sigma2,
-    f12, match_th, ratio,
+    f12, epipole2, match_th, ratio,
 ):
     """Epipolar-constrained matching between two keyframes for new-point
     triangulation (reference SearchForTriangulation + CheckDistEpipolarLine,
     src/FeatureMatcher.cc:662-792, :165-182): candidate kp2 must lie within
-    3.84 sigma^2 of the epipolar line of kp1 in image 2, and away from the
-    epipole."""
+    3.84 sigma^2 of the epipolar line of kp1 in image 2, and at least
+    10*size away from the epipole (the projection of camera 1's center into
+    image 2; points near it have near-zero parallax — reject condition
+    dist^2 < 100*sqrt(sigma2_1D), src/FeatureMatcher.cc:740-746; the
+    reference skips this for stereo-depth observations, we apply it to all
+    candidates — strictly tighter, mono-dominant)."""
     ones = jnp.ones((uv1.shape[0], 1), jnp.float32)
     p1 = jnp.concatenate([uv1, ones], axis=-1)
     lines = p1 @ f12.T  # epipolar lines in image 2 (a, b, c)
@@ -264,6 +268,32 @@ def match_for_triangulation(
     d2 = num * num / jnp.clip(den, 1e-12, None)
     epi_ok = d2 < 3.84 * oct2_sigma2[None, :]
 
+    de2 = (uv2[:, 0] - epipole2[0]) ** 2 + (uv2[:, 1] - epipole2[1]) ** 2
+    far_from_epipole = de2 >= 100.0 * jnp.sqrt(oct2_sigma2)
+
     dist = matching.descriptor_distance_matrix(bits1, bits2)
-    mask = epi_ok & valid1[:, None] & valid2[None, :]
+    mask = epi_ok & far_from_epipole[None, :] & valid1[:, None] & valid2[None, :]
     return matching.match(dist, mask, match_th, ratio=ratio, unique=True)
+
+
+@jax.jit
+def match_loop_projection(
+    pt_uv, pt_pred_size, pt_bits, pt_visible,
+    f_uv, f_bits, f_size, f_valid,
+    th_radius, match_th,
+):
+    """Sim3-guided projection search used by loop closing (reference
+    SearchByProjection(KF, Scw, points, matched, th),
+    src/FeatureMatcher.cc:287-397, and the per-direction half of
+    SearchBySim3, :1066-1289): window radius = th * predictedSize, size
+    band gate, best-distance threshold, no ratio test."""
+    radius = th_radius * jnp.clip(pt_pred_size, 1.0, MAX_SIZE)
+    size_q = jnp.clip(pt_pred_size, 1.0, MAX_SIZE)
+    best, idx, second = matching.guided_best_two(
+        pt_bits, f_bits, pt_uv, f_uv,
+        jnp.where(pt_visible, radius, -1.0),
+        size_q / 1.5, size_q * 1.5, f_size, f_valid,
+    )
+    return matching.finish_match(
+        best, idx, second, f_bits.shape[0], match_th, ratio=None, unique=True
+    )

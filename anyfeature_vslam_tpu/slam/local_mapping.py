@@ -150,7 +150,9 @@ def run_bundle_adjustment(
 
 class LocalMapper:
     def __init__(self, slam_map: SlamMap, cam, match_th: float = 75.0,
-                 max_tri_kfs: int = 10, max_ba_kfs: int = 20, mesh=None):
+                 max_tri_kfs: int = 10, max_ba_kfs: int = 20, mesh=None,
+                 size_tolerance: float = 1.2, sensor: str = "monocular",
+                 th_depth: float = 0.0):
         self.map = slam_map
         self.cam = cam
         self.mesh = mesh  # optional device mesh: local BA runs sharded
@@ -158,6 +160,10 @@ class LocalMapper:
         self.match_th = match_th
         self.max_tri_kfs = max_tri_kfs
         self.max_ba_kfs = max_ba_kfs
+        # sizeTolerance = extractor scale factor (reference src/Frame.cc:73)
+        self.size_tolerance = float(size_tolerance)
+        self.sensor = sensor
+        self.th_depth = float(th_depth)
         # recent points: pt_id -> kf count at creation (for culling)
         self.recent: dict[int, int] = {}
         self.n_kf_processed = 0
@@ -318,6 +324,12 @@ class LocalMapper:
             if med_depth <= 0 or baseline / med_depth < MIN_BASELINE_DEPTH_RATIO:
                 continue
             f12 = _fundamental_from_poses(t1, t2, self.k)
+            # epipole in image 2: camera-1 center projected by KF2
+            # (reference SearchForTriangulation, src/FeatureMatcher.cc:672-678)
+            e_cam = t2[:3, :3] @ c1 + t2[:3, 3]
+            e_img = self.k @ e_cam
+            epipole2 = (e_img[:2] / e_img[2]
+                        if abs(e_img[2]) > 1e-9 else np.full(2, 1e9))
             unmatched2 = (self.map.kf_matches[kf2] < 0) & self.map.kf_feat_valid[kf2]
             res = {
                 k: np.asarray(v)
@@ -330,7 +342,9 @@ class LocalMapper:
                     jnp.asarray(self.map.kf_uv[kf2]),
                     jnp.asarray(unmatched2),
                     jnp.asarray(self.map.kf_size[kf2] ** 2),
-                    jnp.asarray(f12), self.match_th, TRI_RATIO,
+                    jnp.asarray(f12),
+                    jnp.asarray(epipole2.astype(np.float32)),
+                    self.match_th, TRI_RATIO,
                 ).items()
             }
             sl1 = np.nonzero(res["valid"])[0]
@@ -449,17 +463,37 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):
         """Reference KeyFrameCulling (LocalMapping.cc:651-741): a covisible
-        KF is redundant if >=90% of its points are seen by >=3 other KFs at
-        finer or equal scale. Scale check approximated by size comparison."""
-        cov, _ = self.map.covisible_keyframes(kf, min_weight=15)
-        counts = self.map.point_observation_counts()
+        KF is redundant if >90% of its (close, for depth sensors) points
+        with >3 weighted observations are seen by >=3 OTHER keyframes at
+        finer-or-equal scale — other observation's normalized size <=
+        this size * sizeTolerance (= the extractor scale factor,
+        reference src/Frame.cc:73, LocalMapping.cc:687-706)."""
+        m = self.map
+        cov, _ = m.covisible_keyframes(kf, min_weight=15)
+        counts = m.point_observation_counts(stereo_weighted=True)
         for cand in cov:
             cand = int(cand)
-            m = self.map.kf_matches[cand]
-            slots = np.nonzero(m >= 0)[0]
+            if int(m.kf_uid[cand]) == 0:
+                continue  # never cull the first keyframe (keyId==0 guard)
+            mm = m.kf_matches[cand]
+            slots = np.nonzero(mm >= 0)[0]
+            if self.sensor != "monocular":
+                # only close stereo points count (LocalMapping.cc:678-681)
+                d = m.kf_depth[cand][slots]
+                slots = slots[(d > 0) & (d <= self.th_depth)]
             if len(slots) < 10:
                 continue
-            pts = m[slots]
-            redundant = counts[pts] >= 4  # seen by >=3 others + itself
+            pts = mm[slots]
+            cand_sizes = m.kf_size[cand][slots]
+            # all observations of these points, excluding cand's own
+            okf, oslot, opt = m.observations_of_points(pts)
+            other = okf != cand
+            size_lut = np.zeros(m.max_pt, np.float32)
+            size_lut[pts] = cand_sizes
+            finer = other & (
+                m.kf_size[okf, oslot] <= size_lut[opt] * self.size_tolerance
+            )
+            n_finer = np.bincount(opt[finer], minlength=m.max_pt)
+            redundant = (counts[pts] > 3) & (n_finer[pts] >= 3)
             if redundant.mean() > 0.9:
-                self.map.remove_keyframe(cand)
+                m.remove_keyframe(cand)

@@ -93,7 +93,8 @@ class System:
         self.mesh = self._make_mesh(use_mesh)
         self.tracker = Tracker(cfg, camera, self.map)
         self.local_mapper = LocalMapper(
-            self.map, camera, match_th=match_th, mesh=self.mesh
+            self.map, camera, match_th=match_th, mesh=self.mesh,
+            size_tolerance=scale, sensor=sensor, th_depth=th_depth,
         )
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.camera = camera
