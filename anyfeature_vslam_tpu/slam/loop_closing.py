@@ -28,8 +28,12 @@ from .local_mapping import run_bundle_adjustment
 
 MIN_BOW_MATCHES = 20      # reference LoopClosing.cc:283
 MIN_SIM3_INLIERS = 20     # reference LoopClosing.cc:345
+MIN_TOTAL_MATCHES = 40    # reference LoopClosing.cc:401 (projection gate)
 CONSISTENCY_TH = 3        # reference LoopClosing.cc:46
 COVIS_EDGE_MIN_WEIGHT = 100  # reference Optimizer.cc:46 (minFeat)
+SIM3_SEARCH_RADIUS = 7.5  # reference LoopClosing.cc:324 (SearchBySim3 th)
+PROJ_GATE_RADIUS = 10.0   # reference LoopClosing.cc:393 (SearchByProjection th)
+FUSE_RADIUS = 4.0         # reference LoopClosing.cc:617 (SearchAndFuse th)
 
 
 class LoopCloser:
@@ -43,18 +47,26 @@ class LoopCloser:
         self.seed = seed
         self.consistent_groups: list[tuple[set, int]] = []
         self._pending_merge = None
+        self._loop_points = None
         self.last_loop_kf = -1000
         self.n_loops_closed = 0
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf: int) -> bool:
-        """Returns True if a loop was closed at this keyframe."""
+    def process_keyframe(self, kf: int, pre_mutate=None) -> bool:
+        """Returns True if a loop was closed at this keyframe.
+
+        pre_mutate: optional callback invoked before any pose/point reads
+        or mutations (used to land a deferred local-BA fold — the
+        counterpart of the reference stopping LocalMapping before
+        CorrectLoop, src/LoopClosing.cc:424-445)."""
         closed = False
         if (
             self.map.n_keyframes() > 10
             and kf - self.last_loop_kf > 10  # reference LoopClosing.cc:128
         ):
             candidates = self._detect_loop(kf)
+            if candidates and pre_mutate is not None:
+                pre_mutate()
             for cand in candidates:
                 ok, r, t, s = self._compute_sim3(kf, cand)
                 if ok:
@@ -138,6 +150,28 @@ class LoopCloser:
         }
         if int(out["n_inliers"]) < MIN_SIM3_INLIERS:
             return False, None, None, None
+
+        # mutual SearchBySim3 round: use the RANSAC Sim3 to project each
+        # keyframe's points into the other and add agreeing correspondences
+        # before refinement (reference LoopClosing.cc:324-333,
+        # src/FeatureMatcher.cc:1066-1289)
+        add1, add2 = self._search_by_sim3(
+            kf, cand, out["r"], out["t"], float(out["s"]),
+            np.stack([sl1, sl2], axis=1),
+        )
+        if len(add1):
+            sl1 = np.concatenate([sl1, add1])
+            sl2 = np.concatenate([sl2, add2])
+            pt1 = m.kf_matches[kf][sl1]
+            pt2 = m.kf_matches[cand][sl2]
+            pc1 = m.pt_pos[pt1] @ t1[:3, :3].T + t1[:3, 3]
+            pc2 = m.pt_pos[pt2] @ t2[:3, :3].T + t2[:3, 3]
+            uv1 = m.kf_uv[kf][sl1]
+            uv2 = m.kf_uv[cand][sl2]
+            s2_1 = 1.0 / np.clip(m.kf_inv_sigma2[kf][sl1], 1e-9, None)
+            s2_2 = 1.0 / np.clip(m.kf_inv_sigma2[cand][sl2], 1e-9, None)
+        n = len(sl1)
+
         # LM refinement of the RANSAC Sim3 over all pairs (reference
         # Optimizer::OptimizeSim3 with th2=10, src/Optimizer.cc:1033-1226;
         # accepted at >= 20 inliers, LoopClosing.cc:352-359)
@@ -156,11 +190,152 @@ class LoopCloser:
         }
         if int(ref["n_inliers"]) < MIN_SIM3_INLIERS:
             return False, None, None, None
+
+        # strictest gate (reference LoopClosing.cc:365-401): project the
+        # loop neighborhood's points (cand + its covisibles) into the
+        # current keyframe with the refined S_cw; accept the loop only if
+        # the total distinct matched points reach 40
+        cov, _ = m.covisible_keyframes(cand, min_weight=15)
+        loop_kfs = [cand] + [int(c) for c in cov]
+        loop_pts = np.unique(np.concatenate(
+            [m.kf_matches[i][m.kf_matches[i] >= 0] for i in loop_kfs]
+        )) if loop_kfs else np.zeros(0, np.int64)
+        loop_pts = loop_pts[m.pt_valid[loop_pts]].astype(np.int64)
+
+        s_mw = (t2[:3, :3], t2[:3, 3], np.float32(1.0))
+        s_cw = _compose((np.asarray(ref["r"], np.float32),
+                         np.asarray(ref["t"], np.float32),
+                         np.float32(ref["s"])), s_mw)
+        slots_gate, pts_gate = self._project_loop_points(
+            kf, loop_pts, s_cw, PROJ_GATE_RADIUS
+        )
+        # distinct current-KF slots matched to a loop point, merged with
+        # the Sim3 inlier pairs
+        matched = dict(zip(sl1[ref["inliers"]].tolist(),
+                           pt2[ref["inliers"]].tolist()))
+        for s_, p_ in zip(slots_gate.tolist(), pts_gate.tolist()):
+            matched.setdefault(s_, p_)
+        if len(matched) < MIN_TOTAL_MATCHES:
+            return False, None, None, None
+
         # matched loop point pairs (fused AFTER pose correction, reference
-        # CorrectLoop order :533-556)
-        inl = ref["inliers"]
-        self._pending_merge = (pt2[inl].copy(), pt1[inl].copy())
+        # CorrectLoop order :533-556) + loop points for SearchAndFuse
+        self._pending_merge = (
+            np.asarray(list(matched.keys()), np.int64),
+            np.asarray(list(matched.values()), np.int64),
+        )
+        self._loop_points = loop_pts
         return True, ref["r"], ref["t"], float(ref["s"])
+
+    # ------------------------------------------------------------------
+    def _project_sim3(self, pt_ids, s_cw):
+        """uv / predicted size / visibility of world points under a Sim3
+        world->camera map (reference SearchByProjection(KF, Scw, ...)
+        geometry, src/FeatureMatcher.cc:300-360)."""
+        m = self.map
+        r, t, s = s_cw
+        x = m.pt_pos[pt_ids]
+        pc = s * (x @ r.T) + t
+        z = pc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        u = float(self.cam.fx) * pc[:, 0] / zs + float(self.cam.cx)
+        v = float(self.cam.fy) * pc[:, 1] / zs + float(self.cam.cy)
+        uv = np.stack([u, v], axis=-1).astype(np.float32)
+        ow = (-(r.T @ t) / s).astype(np.float32)
+        po = x - ow
+        dist = np.linalg.norm(po, axis=-1)
+        nrm = np.linalg.norm(m.pt_normal[pt_ids], axis=-1)
+        viewcos = (po * m.pt_normal[pt_ids]).sum(-1) / np.clip(dist * nrm, 1e-9, None)
+        visible = (
+            (z > 0)
+            & (u >= 0) & (u < self.cam.width) & (v >= 0) & (v < self.cam.height)
+            & (dist >= m.pt_min_dist[pt_ids]) & (dist <= m.pt_max_dist[pt_ids])
+            & (viewcos > 0.5)
+        )
+        pred_size = (
+            m.pt_ref_size[pt_ids] * m.pt_ref_dist[pt_ids]
+            / np.clip(dist, 1e-9, None)
+        ).astype(np.float32)
+        return uv, pred_size, visible
+
+    def _project_loop_points(self, kf: int, pt_ids, s_cw, radius):
+        """Match world points into kf's keypoints under Sim3 s_cw.
+        Returns (kf slots, point ids) of accepted matches."""
+        m = self.map
+        if len(pt_ids) == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        bucket = 256
+        while bucket < len(pt_ids):
+            bucket *= 2
+        idx = np.concatenate([pt_ids, np.zeros(bucket - len(pt_ids), np.int64)])
+        uv, pred, vis = self._project_sim3(idx, s_cw)
+        vis[len(pt_ids):] = False
+        res = {
+            k: np.asarray(v)
+            for k, v in frame_ops.match_loop_projection(
+                jnp.asarray(uv), jnp.asarray(pred),
+                jnp.asarray(m.pt_desc_bits[idx]), jnp.asarray(vis),
+                jnp.asarray(m.kf_uv[kf]), jnp.asarray(m.kf_desc_bits[kf]),
+                jnp.asarray(m.kf_size[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+                float(radius), self.match_th,
+            ).items()
+        }
+        src = np.nonzero(res["valid"])[0]
+        return res["idx"][src].astype(np.int64), idx[src]
+
+    def _search_by_sim3(self, kf: int, cand: int, r, t, s, pairs):
+        """Mutual Sim3-guided search (reference SearchBySim3,
+        src/FeatureMatcher.cc:1066-1289): project cand's points into kf and
+        kf's points into cand with S_cm / S_mc; keep mutually-agreeing new
+        correspondences. Returns (new kf slots, new cand slots)."""
+        m = self.map
+        r = np.asarray(r, np.float32)
+        t = np.asarray(t, np.float32)
+        t1 = m.kf_pose[kf]
+        t2 = m.kf_pose[cand]
+        s_mw = (t2[:3, :3], t2[:3, 3], np.float32(1.0))
+        s_cm = (r, t, np.float32(s))
+        s_cw = _compose(s_cm, s_mw)           # world -> kf cam via loop Sim3
+        s_mw_from_c = _compose(_inv(s_cm), (t1[:3, :3], t1[:3, 3], np.float32(1.0)))
+
+        used1 = set(pairs[:, 0].tolist())
+        used2 = set(pairs[:, 1].tolist())
+        m2 = m.kf_matches[cand]
+        pts2 = np.unique(m2[m2 >= 0])
+        pts2 = pts2[m.pt_valid[pts2]].astype(np.int64)
+        m1 = m.kf_matches[kf]
+        pts1 = np.unique(m1[m1 >= 0])
+        pts1 = pts1[m.pt_valid[pts1]].astype(np.int64)
+
+        # cand points -> kf keypoints; kf points -> cand keypoints
+        slots_in_kf, pts2_matched = self._project_loop_points(
+            kf, pts2, s_cw, SIM3_SEARCH_RADIUS
+        )
+        slots_in_cand, pts1_matched = self._project_loop_points(
+            cand, pts1, s_mw_from_c, SIM3_SEARCH_RADIUS
+        )
+        # mutual agreement: (kf slot with point p1) <-> (cand slot with p2)
+        # agree when projecting p2 lands on a kf slot whose point is p1 AND
+        # projecting p1 lands on a cand slot whose point is p2
+        cand_slot_of_p2 = {}
+        for sl, p in zip(slots_in_cand.tolist(), pts1_matched.tolist()):
+            cand_slot_of_p2[p] = sl
+        new1, new2 = [], []
+        pt_of_cand_slot = m.kf_matches[cand]
+        for sl_kf, p2 in zip(slots_in_kf.tolist(), pts2_matched.tolist()):
+            p1 = int(m.kf_matches[kf][sl_kf])
+            if p1 < 0 or sl_kf in used1:
+                continue
+            sl_cand = cand_slot_of_p2.get(p1)
+            if sl_cand is None or sl_cand in used2:
+                continue
+            if int(pt_of_cand_slot[sl_cand]) != int(p2):
+                continue
+            new1.append(sl_kf)
+            new2.append(sl_cand)
+            used1.add(sl_kf)
+            used2.add(sl_cand)
+        return np.asarray(new1, np.int64), np.asarray(new2, np.int64)
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, cand: int, r, t, s):
@@ -221,11 +396,33 @@ class LoopCloser:
             pose[:3, 3] = ti / si
             m.kf_pose[i] = pose
 
-        # fuse matched loop points now that poses are corrected
+        # fuse matched loop points now that poses are corrected (reference
+        # LoopClosing.cc:533-556: loop point REPLACES the current one, or
+        # becomes a new observation on an empty slot)
         if self._pending_merge is not None:
-            keep, drop = self._pending_merge
-            m.merge_points(keep, drop)
+            slots, loop_pt = self._pending_merge
+            keep, drop = [], []
+            for sl, lp in zip(slots.tolist(), loop_pt.tolist()):
+                lp = int(lp)
+                if not m.pt_valid[lp]:
+                    continue
+                existing = int(m.kf_matches[kf][sl])
+                if existing == lp:
+                    continue
+                if existing >= 0:
+                    keep.append(lp)
+                    drop.append(existing)
+                else:
+                    m.kf_matches[kf][sl] = lp
+            if keep:
+                m.merge_points(keep, drop)
             self._pending_merge = None
+
+        # SearchAndFuse (reference LoopClosing.cc:601-627, called :556):
+        # project ALL loop-side points into every corrected keyframe
+        # (radius 4) and fuse — this removes the duplicated structure
+        # across the loop, not just the pre-matched pairs
+        self._search_and_fuse(corrected)
 
         self.map.update_point_stats()
 
@@ -245,6 +442,41 @@ class LoopCloser:
         # loop closure + GBA = a "big change" (reference InformNewBigChange,
         # surfaced through System::MapChanged)
         self.map.inform_big_change()
+
+    def _search_and_fuse(self, corrected: dict):
+        """Project every loop-side map point into each corrected keyframe
+        and fuse duplicates (reference SearchAndFuse,
+        src/LoopClosing.cc:601-627: Fuse(pKF, cvScw, loopPoints, 4,
+        replace); the loop point replaces the keyframe's duplicate)."""
+        m = self.map
+        loop_pts = self._loop_points
+        self._loop_points = None
+        if loop_pts is None or len(loop_pts) == 0:
+            return
+        loop_pts = loop_pts[m.pt_valid[loop_pts]]
+        for i, s_iw in corrected.items():
+            if not m.kf_valid[i] or len(loop_pts) == 0:
+                continue
+            slots, pts = self._project_loop_points(
+                i, loop_pts, s_iw, FUSE_RADIUS
+            )
+            keep, drop = [], []
+            for sl, lp in zip(slots.tolist(), pts.tolist()):
+                lp = int(lp)
+                if not m.pt_valid[lp]:
+                    continue
+                existing = int(m.kf_matches[i][sl])
+                if existing == lp:
+                    continue
+                if existing >= 0:
+                    keep.append(lp)
+                    drop.append(existing)
+                else:
+                    m.kf_matches[i][sl] = lp
+            if keep:
+                m.merge_points(keep, drop)
+            # forwarded merges can invalidate later loop points; refresh
+            loop_pts = loop_pts[m.pt_valid[loop_pts]]
 
     def _optimize_essential_graph(self, kf: int, cand: int, corrected: dict, pre_poses):
         m = self.map

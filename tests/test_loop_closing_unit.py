@@ -152,3 +152,77 @@ def _end_drift(m, gt_pose, n_kf):
         rel = t_est @ np.linalg.inv(gt_pose(i))
         errs.append(np.abs(np.asarray(se3.se3_log(jnp.asarray(rel)))).max())
     return max(errs)
+
+
+def _two_kf_shared_map(n_shared, seed=7):
+    """Current KF (slot 2) re-observes `n_shared` of candidate KF 0's
+    points (identical descriptors, consistent geometry) — a loop candidate
+    that Sim3-solves cleanly with ~n_shared inliers. KF 1 is a covisible
+    neighbor of the candidate so the loop neighborhood is non-trivial."""
+    rng = np.random.default_rng(seed)
+    cam = CameraParams.create(fx=FX, fy=FY, cx=CX, cy=CY, width=320, height=240)
+    m = SlamMap(max_kf=8, max_pt=2000, n_feat=N_FEAT)
+
+    t0 = np.eye(4, dtype=np.float32)
+    t1 = np.eye(4, dtype=np.float32)
+    t1[:3, 3] = [0.15, 0.0, 0.0]
+    t2 = np.eye(4, dtype=np.float32)
+    t2[:3, 3] = [0.0, 0.12, 0.05]
+
+    uv0 = rng.uniform([20, 20], [300, 220], (n_shared, 2))
+    z = rng.uniform(3.0, 6.0, n_shared)
+    pw = np.stack([(uv0[:, 0] - CX) / FX * z, (uv0[:, 1] - CY) / FY * z, z], -1)
+    descs = rng.integers(0, 2, (n_shared, 256)).astype(np.uint8)
+    ids = m.add_points(pw.astype(np.float32), descs, ref_kf=0,
+                       ref_sizes=np.ones(n_shared, np.float32))
+
+    def mk_kf(t_cw, obs_ids, obs_pw, obs_descs):
+        feats = dict(
+            uv_und=np.zeros((N_FEAT, 2), np.float32),
+            desc_bits=np.zeros((N_FEAT, 256), np.uint8),
+            octave=np.zeros(N_FEAT, np.int32),
+            size=np.ones(N_FEAT, np.float32),
+            angle=np.zeros(N_FEAT, np.float32),
+            inv_sigma2=np.ones(N_FEAT, np.float32),
+            valid=np.zeros(N_FEAT, bool),
+        )
+        matches = np.full(N_FEAT, -1, np.int32)
+        pc = obs_pw @ t_cw[:3, :3].T + t_cw[:3, 3]
+        uv = np.stack(
+            [FX * pc[:, 0] / pc[:, 2] + CX, FY * pc[:, 1] / pc[:, 2] + CY], -1
+        )
+        ok = (pc[:, 2] > 0.5) & (uv[:, 0] > 0) & (uv[:, 0] < 320) \
+             & (uv[:, 1] > 0) & (uv[:, 1] < 240)
+        slot = 0
+        for i in np.nonzero(ok)[0]:
+            feats["uv_und"][slot] = uv[i]
+            feats["desc_bits"][slot] = obs_descs[i]
+            feats["valid"][slot] = True
+            matches[slot] = obs_ids[i]
+            slot += 1
+        return m.add_keyframe(t_cw, ts=0.0, frame_id=0, feats=feats,
+                              matches=matches)
+
+    mk_kf(t0, ids, pw, descs)      # candidate
+    mk_kf(t1, ids, pw, descs)      # its covisible neighbor
+    cur = mk_kf(t2, ids, pw, descs)  # current KF re-observing everything
+    m.update_point_stats()
+    return cam, m, cur
+
+
+@pytest.mark.parametrize("n_shared,expect", [(28, False), (70, True)])
+def test_sim3_total_match_gate(n_shared, expect):
+    """The >=40 total-projection-match gate (reference LoopClosing.cc:
+    365-401): a borderline candidate with only ~28 consistent matches must
+    be REJECTED even though it clears the 20-BoW and 20-Sim3-inlier gates;
+    a rich 70-match candidate must pass."""
+    cam, m, cur = _two_kf_shared_map(n_shared)
+    voc = vocab_mod.train_vocabulary(
+        np.concatenate([m.kf_desc_bits[k][m.kf_feat_valid[k]]
+                        for k in m.keyframe_ids()]),
+        branching=8, depth=2, iters=3,
+    )
+    db = KeyFrameDatabase(voc, m.max_kf)
+    closer = LoopCloser(m, cam, db, match_th=75.0)
+    ok, *_ = closer._compute_sim3(cur, 0)
+    assert ok == expect
