@@ -55,7 +55,7 @@ def _fundamental_from_poses(t1, t2, k):
 def run_bundle_adjustment(
     slam_map: SlamMap, cam, free_kfs, fixed_kfs, pt_ids,
     n_iters_a: int = 5, n_iters_b: int = 10, remove_outliers: bool = True,
-    mesh=None,
+    mesh=None, defer: bool = False,
 ):
     """Assemble COO arrays from the map and run two-stage Schur LM.
 
@@ -63,6 +63,11 @@ def run_bundle_adjustment(
     erases outlier observations (reference src/Optimizer.cc:701-747).
     With `mesh`, the solve is observation-sharded over the device mesh
     (parallel/sharded_ba.py) — same math, psum-reduced.
+
+    With defer=True, returns a `fold()` closure instead of writing back:
+    JAX has already dispatched the solve asynchronously, so the device
+    works while the host tracks the next frames; call fold() before the
+    next map mutation to land the results.
     """
     free_kfs = [int(k) for k in free_kfs]
     fixed_kfs = [int(k) for k in fixed_kfs if k not in free_kfs]
@@ -132,20 +137,48 @@ def run_bundle_adjustment(
         new_poses, new_pts, chi2, z, valid2 = ba_ops.bundle_adjust_two_stage(
             *args, n_iters_a=n_iters_a, n_iters_b=n_iters_b
         )
-    new_poses = np.asarray(new_poses)
-    new_pts = np.asarray(new_pts)
-    outlier = np.asarray(ba_ops.classify_outliers(chi2, z))[:n_obs]
+    outlier_dev = ba_ops.classify_outliers(chi2, z)
+    obs_kf = np.asarray(obs_kf)
+    obs_slot = np.asarray(obs_slot)
+    # identity snapshot: a keyframe slot culled between dispatch and fold
+    # can be RECYCLED by the tracker's next add_keyframe — writes must be
+    # gated on the slot still holding the same keyframe (uid), not just
+    # on kf_valid
+    kf_uids = {kf: int(slam_map.kf_uid[kf]) for kf in kf_list}
 
-    for li, kf in enumerate(free_kfs):
-        slam_map.kf_pose[kf] = new_poses[li]
-    slam_map.pt_pos[pt_ids] = new_pts[: len(pt_ids)]
+    def fold():
+        """Block on the (already dispatched, asynchronously executing)
+        solve and write results back into the map. The TPU-native
+        counterpart of the reference's LocalMapping-thread overlap with
+        mbAbortBA (src/LocalMapping.cc:48-119, Optimizer.cc:510-747):
+        tracking keeps using the pre-BA state until the fold lands, just
+        as the reference's tracking reads the map while g2o iterates."""
+        np_poses = np.asarray(new_poses)
+        np_pts = np.asarray(new_pts)
+        outlier = np.asarray(outlier_dev)[:n_obs]
 
-    if remove_outliers:
-        obs_kf = np.asarray(obs_kf)
-        obs_slot = np.asarray(obs_slot)
-        for i in np.nonzero(outlier)[0]:
-            kf = kf_list[obs_kf[i]]
-            slam_map.kf_matches[kf][obs_slot[i]] = -1
+        def same_kf(kf):
+            return (
+                slam_map.kf_valid[kf]
+                and int(slam_map.kf_uid[kf]) == kf_uids[kf]
+            )
+
+        for li, kf in enumerate(free_kfs):
+            if same_kf(kf):
+                slam_map.kf_pose[kf] = np_poses[li]
+        # guard against points culled/recycled between dispatch and fold
+        still = slam_map.pt_valid[pt_ids]
+        slam_map.pt_pos[pt_ids[still]] = np_pts[: len(pt_ids)][still]
+        if remove_outliers:
+            for i in np.nonzero(outlier)[0]:
+                kf = kf_list[obs_kf[i]]
+                if same_kf(kf):
+                    slam_map.kf_matches[kf][obs_slot[i]] = -1
+
+    if defer:
+        return fold
+    fold()
+    return None
 
 
 class LocalMapper:
@@ -167,9 +200,20 @@ class LocalMapper:
         # recent points: pt_id -> kf count at creation (for culling)
         self.recent: dict[int, int] = {}
         self.n_kf_processed = 0
+        # deferred local-BA fold (async-mapping mode)
+        self._pending_fold = None
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf: int):
+    def fold_pending(self):
+        """Land a previously dispatched (still-running) local BA before the
+        next map mutation (see run_bundle_adjustment defer)."""
+        if self._pending_fold is not None:
+            f = self._pending_fold
+            self._pending_fold = None
+            f()
+
+    def process_keyframe(self, kf: int, defer_ba: bool = False):
+        self.fold_pending()
         self.n_kf_processed += 1
         m = self.map.kf_matches[kf]
         self.map.update_point_stats(np.unique(m[m >= 0]))
@@ -177,7 +221,7 @@ class LocalMapper:
         if self.map.n_keyframes() >= 2:
             self._create_new_points(kf)
             self._fuse_in_neighbors(kf)
-            self._local_ba(kf)
+            self._local_ba(kf, defer=defer_ba)
         self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
@@ -430,7 +474,7 @@ class LocalMapper:
         )
 
     # ------------------------------------------------------------------
-    def _local_ba(self, kf: int):
+    def _local_ba(self, kf: int, defer: bool = False):
         """Reference LocalBundleAdjustment structure (Optimizer.cc:450-768):
         current KF + covisible KFs free; KFs observing local points but not
         covisible fixed."""
@@ -456,8 +500,9 @@ class LocalMapper:
             oldest = min(free)
             free.remove(oldest)
             fixed = [oldest]
-        run_bundle_adjustment(
-            self.map, self.cam, free, fixed, sorted(pt_ids), mesh=self.mesh
+        self._pending_fold = run_bundle_adjustment(
+            self.map, self.cam, free, fixed, sorted(pt_ids), mesh=self.mesh,
+            defer=defer,
         )
 
     # ------------------------------------------------------------------

@@ -3,9 +3,11 @@
 TPU-native counterpart of the reference `System` class (reference
 include/System.h:52, src/System.cc): constructs the map, tracker and local
 mapper, routes frames, and saves trajectories + statistics. The reference's
-three worker threads become a synchronous host pipeline (tracking inline,
-local-mapping on keyframe insertion); loop closing is added by the
-place-recognition module when enabled.
+three worker threads become a single-host pipeline in which the local-BA
+solve is dispatched asynchronously at keyframe insertion and overlaps with
+tracking of the following frames (folding back before the next map
+mutation — see slam/local_mapping.run_bundle_adjustment defer); loop
+closing is added by the place-recognition module when enabled.
 """
 
 from __future__ import annotations
@@ -21,6 +23,20 @@ from .ops.camera import CameraParams
 from .slam.local_mapping import LocalMapper
 from .slam.map_state import SlamMap
 from .slam.tracking import Tracker, TrackingConfig, TrackState
+
+def _default_vocabulary(feature: str) -> str | None:
+    """Shipped vocabulary for a feature family, if present (repo
+    `vocabularies/` folder; mirrors the reference's per-feature
+    `<Feature>_DBoW2_voc.txt` convention, src/Vocabulary.cpp:54-106)."""
+    import glob
+
+    vdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vocabularies",
+    )
+    hits = sorted(glob.glob(os.path.join(vdir, f"voc_{feature}_*.npz")))
+    return hits[-1] if hits else None
+
 
 class System:
     def __init__(
@@ -40,6 +56,7 @@ class System:
         bf: float = 0.0,
         th_depth: float = 0.0,
         depth_map_factor: float = 1.0,
+        async_mapping: bool = True,
     ):
         from anyfeature_vslam_tpu.frontend.extractor import (
             FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
@@ -101,6 +118,9 @@ class System:
         self.fps = fps
         self.sensor = sensor
         self.depth_map_factor = depth_map_factor
+        # overlap the local-BA solve with subsequent tracking (the
+        # reference's LocalMapping-thread concurrency, SURVEY 2.7)
+        self.async_mapping = async_mapping
         self._reset_requested = False
         self._activate_localization_requested = False
         self._deactivate_localization_requested = False
@@ -112,7 +132,12 @@ class System:
         # src/System.cc:556-563)
         self.mapping_times: list[float] = []
         self.loop_times: list[float] = []
-        # place recognition: vocabulary loaded or trained lazily from the map
+        # place recognition: explicit vocabulary, else the shipped default
+        # for this feature family (vocabularies/voc_<feature>_*.npz —
+        # offline-trained, reference ships per-feature DBoW2 files the same
+        # way), else trained lazily from the map as a last resort
+        if vocabulary_path is None:
+            vocabulary_path = _default_vocabulary(feature)
         self.vocabulary = vocabulary_path and self._load_vocab(vocabulary_path)
         self.database = None
         self.loop_closer = None
@@ -178,12 +203,19 @@ class System:
 
     def _on_new_keyframe(self, kf: int):
         t0 = time.perf_counter()
-        self.local_mapper.process_keyframe(kf)
+        # async mapping: the local-BA solve is dispatched here but NOT
+        # waited on — it executes on-device while tracking processes the
+        # following frames, and folds back at the next map mutation (the
+        # TPU-native form of the reference's LocalMapping-thread overlap,
+        # src/System.cc:112-127 + mbAbortBA)
+        self.local_mapper.process_keyframe(kf, defer_ba=self.async_mapping)
         self.mapping_times.append(time.perf_counter() - t0)
         self._maybe_train_vocabulary()
         if self.loop_closer is not None:
             t1 = time.perf_counter()
-            self.loop_closer.process_keyframe(kf)
+            self.loop_closer.process_keyframe(
+                kf, pre_mutate=self.local_mapper.fold_pending
+            )
             self.loop_times.append(time.perf_counter() - t1)
         elif self.database is not None:
             self.database.add(kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf])
@@ -275,6 +307,7 @@ class System:
     def reset(self):
         """Clear map, database and tracking state (reference System::Reset ->
         Tracking::Reset, src/Tracking.cc:1311-1356)."""
+        self.local_mapper._pending_fold = None  # stale solve: drop, not fold
         self.tracker._reset()
         if self.database is not None:
             self.database = None
@@ -285,14 +318,16 @@ class System:
 
     def shutdown(self):
         """Reference System::Shutdown (src/System.cc:332-351): the worker
-        threads are synchronous here, so shutdown just blocks until device
-        work is drained."""
+        threads are synchronous here, so shutdown lands any deferred
+        local-BA fold and blocks until device work is drained."""
         import jax
 
+        self.local_mapper.fold_pending()
         (jax.device_put(0.0) + 0).block_until_ready()
 
     # ------------------------------------------------------------- output
     def save_outputs(self, out_dir: str, exp_id: str = "exp"):
+        self.local_mapper.fold_pending()
         os.makedirs(out_dir, exist_ok=True)
         kf_csv = os.path.join(out_dir, f"{exp_id}_KeyFrameTrajectory.csv")
         trajectory.save_keyframe_trajectory_vslamlab(kf_csv, self.map)
@@ -343,6 +378,7 @@ class System:
 
     def save_checkpoint(self, path: str):
         """Persist the full map state (see SlamMap.save)."""
+        self.local_mapper.fold_pending()
         self.map.save(path)
 
     def load_checkpoint(self, path: str):
