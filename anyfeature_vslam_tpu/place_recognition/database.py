@@ -1,10 +1,15 @@
 """Keyframe database: loop / relocalization candidate retrieval.
 
 Replaces the reference KeyFrameDatabase (reference
-src/KeyFrameDatabase.cc:33-309). The DBoW2 inverted file becomes a dense
-(max_kf, n_words) bow matrix + a (max_kf, n_words) word-presence bitmap, so
-"shared word counts" and L1 scores against ALL keyframes are two vectorized
-reductions. Selection semantics mirror the reference:
+src/KeyFrameDatabase.cc:33-309). The DBoW2 inverted file becomes SPARSE
+per-keyframe word lists: each keyframe stores its ~n_feat (word id, tf-idf
+weight) pairs in fixed-width arrays, so memory and query cost scale with
+keyframes * features-per-frame, NOT with vocabulary size — a 32k- or
+1M-word vocabulary costs the same per query. Scoring uses the identity
+L1score(a, b) = 1 - 0.5*|a - b|_1 = sum over common words of min(a_w, b_w)
+for L1-normalized nonnegative vectors, evaluated as one gather + min + sum
+over the (max_kf, W) sparse tables against a dense query vector.
+Selection semantics mirror the reference:
 
   loop candidates (KeyFrameDatabase.cc:76-197):
     - exclude the query's covisible keyframes
@@ -29,40 +34,60 @@ class KeyFrameDatabase:
     def __init__(self, vocabulary: vocab_mod.Vocabulary, max_kf: int):
         self.vocab = vocabulary
         self.max_kf = max_kf
-        self.bow = np.zeros((max_kf, vocabulary.n_words), np.float32)
-        self.has_word = np.zeros((max_kf, vocabulary.n_words), bool)
+        # sparse per-KF word lists: ids (-1 pad) + L1-normalized tf-idf
+        # weights, width grown on demand
+        self._cap = 64
+        self.kf_words = np.full((max_kf, self._cap), -1, np.int32)
+        self.kf_weights = np.zeros((max_kf, self._cap), np.float32)
         self.present = np.zeros(max_kf, bool)
 
     def compute_bow(self, desc_bits, valid):
-        """(bow vector, word-presence mask) for a frame/keyframe."""
+        """Sparse bow: (unique word ids, L1-normalized tf-idf weights)."""
         words = np.asarray(
             vocab_mod.transform_words(self.vocab, jnp.asarray(desc_bits), jnp.asarray(valid))
         )
-        bow = np.asarray(
-            vocab_mod.bow_from_words(jnp.asarray(words), jnp.asarray(self.vocab.idf))
-        )
-        mask = np.zeros(self.vocab.n_words, bool)
-        mask[words[words >= 0]] = True
-        return bow, mask
+        ids, counts = np.unique(words[words >= 0], return_counts=True)
+        w = counts.astype(np.float32) * self.vocab.idf[ids]
+        norm = np.abs(w).sum()
+        if norm > 0:
+            w = w / norm
+        return ids.astype(np.int32), w
 
     def add(self, kf: int, desc_bits, valid):
-        bow, mask = self.compute_bow(desc_bits, valid)
-        self.bow[kf] = bow
-        self.has_word[kf] = mask
+        ids, w = self.compute_bow(desc_bits, valid)
+        while len(ids) > self._cap:
+            self.kf_words = np.pad(
+                self.kf_words, ((0, 0), (0, self._cap)), constant_values=-1
+            )
+            self.kf_weights = np.pad(self.kf_weights, ((0, 0), (0, self._cap)))
+            self._cap *= 2
+        self.kf_words[kf] = -1
+        self.kf_weights[kf] = 0.0
+        self.kf_words[kf, : len(ids)] = ids
+        self.kf_weights[kf, : len(ids)] = w
         self.present[kf] = True
 
     def erase(self, kf: int):
         self.present[kf] = False
 
-    def _shared_and_scores(self, bow_q, words_q_mask, exclude):
+    def _shared_and_scores(self, bow_q, exclude):
+        """bow_q: sparse (ids, weights) query. One gather over the sparse
+        tables gives shared-word counts and L1 scores for ALL keyframes."""
+        ids_q, w_q = bow_q
         cand = self.present & ~exclude
-        shared = (self.has_word & words_q_mask[None, :]).sum(-1)
-        shared = np.where(cand, shared, 0)
-        scores = np.asarray(vocab_mod.l1_score(jnp.asarray(bow_q), jnp.asarray(self.bow)))
-        return cand, shared, scores
+        q_w = np.zeros(self.vocab.n_words, np.float32)
+        q_w[ids_q] = w_q
+        q_has = np.zeros(self.vocab.n_words, bool)
+        q_has[ids_q] = True
+        valid_slot = self.kf_words >= 0
+        wi = np.maximum(self.kf_words, 0)
+        common = valid_slot & q_has[wi]
+        shared = np.where(cand, common.sum(-1), 0)
+        scores = np.where(common, np.minimum(q_w[wi], self.kf_weights), 0.0).sum(-1)
+        return cand, shared, scores.astype(np.float32)
 
-    def _query(self, bow_q, word_mask, exclude, min_score, covis_groups):
-        cand, shared, scores = self._shared_and_scores(bow_q, word_mask, exclude)
+    def _query(self, bow_q, exclude, min_score, covis_groups):
+        cand, shared, scores = self._shared_and_scores(bow_q, exclude)
         if shared.max(initial=0) == 0:
             return []
         min_common = 0.8 * shared.max()
@@ -92,26 +117,27 @@ class KeyFrameDatabase:
         also adds it only after detection, LoopClosing.cc:235); its bow is
         computed from the map's stored descriptors.
         """
-        bow_q, mask_q = self._kf_bow(kf, slam_map)
+        bow_q = self._kf_bow(kf, slam_map)
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
         exclude = np.zeros(self.max_kf, bool)
         exclude[kf] = True
         exclude[cov] = True
         covis_groups = self._covis_groups(slam_map)
-        return self._query(bow_q, mask_q, exclude, min_score, covis_groups)
+        return self._query(bow_q, exclude, min_score, covis_groups)
 
     def _kf_bow(self, kf: int, slam_map):
         if self.present[kf]:
-            return self.bow[kf], self.has_word[kf]
+            v = self.kf_words[kf] >= 0
+            return self.kf_words[kf][v], self.kf_weights[kf][v]
         return self.compute_bow(
             slam_map.kf_desc_bits[kf], slam_map.kf_feat_valid[kf]
         )
 
     def detect_relocalization_candidates(self, desc_bits, valid, slam_map):
-        bow_q, mask = self.compute_bow(desc_bits, valid)
+        bow_q = self.compute_bow(desc_bits, valid)
         exclude = np.zeros(self.max_kf, bool)
         covis_groups = self._covis_groups(slam_map)
-        return self._query(bow_q, mask, exclude, 0.0, covis_groups)
+        return self._query(bow_q, exclude, 0.0, covis_groups)
 
     def _covis_groups(self, slam_map, top: int = 10):
         groups = {}
@@ -129,8 +155,12 @@ class KeyFrameDatabase:
         cov = [int(c) for c in cov if self.present[c]]
         if len(cov) == 0:
             return 0.0
-        bow_q, _ = self._kf_bow(kf, slam_map)
-        scores = np.asarray(
-            vocab_mod.l1_score(jnp.asarray(bow_q), jnp.asarray(self.bow[cov]))
-        )
+        ids_q, w_q = self._kf_bow(kf, slam_map)
+        q_w = np.zeros(self.vocab.n_words, np.float32)
+        q_w[ids_q] = w_q
+        wi = np.maximum(self.kf_words[cov], 0)
+        common = (self.kf_words[cov] >= 0) & (q_w[wi] > 0)
+        scores = np.where(
+            common, np.minimum(q_w[wi], self.kf_weights[cov]), 0.0
+        ).sum(-1)
         return float(scores.min())

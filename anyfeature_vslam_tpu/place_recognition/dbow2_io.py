@@ -14,12 +14,12 @@ convention; float descriptors are kept as float32.
 
 Transform runs as a batched masked tree descent (gather + distance argmin
 per level, all N descriptors in lockstep — the TPU-shaped equivalent of
-DBoW2's per-descriptor recursion). Because reference vocabularies can have
-~1e6 words (CPU inverted-file scale) while this framework scores dense BoW
-histograms on-device, leaf word ids are FOLDED into `fold` buckets
-(word % fold). Folding preserves the discriminative behaviour needed for
-loop/reloc candidate ranking at bounded memory; scores differ slightly
-from DBoW2's exact inverted-file values.
+DBoW2's per-descriptor recursion). The keyframe database stores SPARSE
+per-keyframe word lists (place_recognition/database.py), so ~1e6-word
+reference vocabularies are used UNFOLDED by default — word ids and tf-idf
+weights match DBoW2's exactly. Pass `fold` to bucket words (word % fold)
+only if memory for the per-query dense vector (n_words float32) is a
+concern.
 """
 
 from __future__ import annotations
@@ -48,13 +48,19 @@ class Dbow2Vocabulary:
 
     @property
     def idf(self) -> np.ndarray:
-        """Folded per-bucket weight (max of folded leaf weights); cached."""
+        """Per-word weight; folded (max over bucket) only when fold <
+        the raw word count."""
         cached = self.__dict__.get("_idf_folded")
         if cached is None:
-            w = np.zeros(self.fold, np.float32)
-            np.maximum.at(w, np.arange(len(self.word_weight)) % self.fold,
-                          self.word_weight.astype(np.float32))
-            cached = np.where(w > 0, w, 1e-3)
+            if self.fold >= len(self.word_weight):
+                cached = np.where(
+                    self.word_weight > 0, self.word_weight, 1e-3
+                ).astype(np.float32)
+            else:
+                w = np.zeros(self.fold, np.float32)
+                np.maximum.at(w, np.arange(len(self.word_weight)) % self.fold,
+                              self.word_weight.astype(np.float32))
+                cached = np.where(w > 0, w, 1e-3)
             self.__dict__["_idf_folded"] = cached
         return cached
 
@@ -66,7 +72,7 @@ def _bytes_to_bitplanes(rows: np.ndarray) -> np.ndarray:
     return np.unpackbits(rows.astype(np.uint8), axis=1, bitorder="little")
 
 
-def load_dbow2_text(path: str, binary: bool | None = None, fold: int = 32768) -> Dbow2Vocabulary:
+def load_dbow2_text(path: str, binary: bool | None = None, fold: int | None = None) -> Dbow2Vocabulary:
     """Parse a DBoW2 text vocabulary (reference vocabulary folder files)."""
     with open(path) as f:
         header = f.readline().split()
@@ -119,7 +125,9 @@ def load_dbow2_text(path: str, binary: bool | None = None, fold: int = 32768) ->
             word_weight[leaf_word[node]] = weights[i]
     return Dbow2Vocabulary(
         branching=k, depth=depth, children=children, node_desc=node_desc,
-        leaf_word=leaf_word, word_weight=word_weight, fold=min(fold, max(next_word, 1)),
+        leaf_word=leaf_word, word_weight=word_weight,
+        fold=(max(next_word, 1) if fold is None
+              else min(fold, max(next_word, 1))),
     )
 
 

@@ -67,12 +67,20 @@ class Vocabulary:
         )
 
 
-def _dist(a, b):
-    """Pairwise distances, Hamming for uint8 bit-planes, sq-L2 for float."""
-    if a.dtype == np.uint8:
-        return (a[:, None, :] != b[None, :, :]).sum(-1)
-    diff = a[:, None, :].astype(np.float32) - b[None, :, :].astype(np.float32)
-    return (diff * diff).sum(-1)
+def _dist(a, b, chunk: int = 16384):
+    """Pairwise distances, Hamming for uint8 bit-planes, sq-L2 for float.
+    Chunked over `a` so large training corpora don't materialize an
+    (N, K, D) intermediate."""
+    if len(a) <= chunk:
+        if a.dtype == np.uint8:
+            return (a[:, None, :] != b[None, :, :]).sum(-1)
+        diff = a[:, None, :].astype(np.float32) - b[None, :, :].astype(np.float32)
+        return (diff * diff).sum(-1)
+    out = np.empty((len(a), len(b)),
+                   np.int64 if a.dtype == np.uint8 else np.float32)
+    for i in range(0, len(a), chunk):
+        out[i:i + chunk] = _dist(a[i:i + chunk], b)
+    return out
 
 
 def _kmeans(descs: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
@@ -133,8 +141,15 @@ def train_vocabulary(
         centroids.append(c_lvl)
 
     vocab = Vocabulary(branching, depth, centroids, np.ones(branching ** depth, np.float32))
-    # idf from training corpus ("documents" = chunks of ~500 descriptors)
-    words = np.asarray(transform_words(vocab, jnp.asarray(descs), jnp.ones(len(descs), bool)))
+    # idf from training corpus ("documents" = chunks of ~500 descriptors);
+    # transform in bounded chunks (the descent materializes (N, B, D))
+    words = np.concatenate([
+        np.asarray(transform_words(
+            vocab, jnp.asarray(descs[i:i + 16384]),
+            jnp.ones(len(descs[i:i + 16384]), bool),
+        ))
+        for i in range(0, len(descs), 16384)
+    ])
     n_docs = max(len(descs) // 500, 1)
     df = np.zeros(vocab.n_words, np.float64)
     for c in range(n_docs):

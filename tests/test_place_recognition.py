@@ -103,3 +103,60 @@ def test_database_retrieves_revisited_place(trained_vocab):
 
     reloc = db.detect_relocalization_candidates(d_re, np.ones(100, bool), fmap)
     assert (2 in reloc) or (10 in reloc)
+
+
+def test_loop_retrieval_at_scale():
+    """Discrimination at realistic map size (VERDICT r1 item 4): 210
+    keyframes, 10k-word vocabulary (branching 10, depth 4), revisit KFs
+    200..209 re-observe KF 0..9's descriptors with 5% bit noise. The
+    database must retrieve the matching early keyframe — not unrelated
+    ones — through the shared-word / minScore / group-accumulation
+    pipeline (reference KeyFrameDatabase.cc:76-197)."""
+    rng = np.random.default_rng(5)
+    n_kf, n_feat, n_rev = 210, 300, 10
+    max_kf = 256
+    pool = rng.integers(0, 2, (n_kf - n_rev, n_feat, 256)).astype(np.uint8)
+    descs = np.zeros((max_kf, n_feat, 256), np.uint8)
+    descs[: n_kf - n_rev] = pool
+    for j in range(n_rev):
+        src = pool[j].copy()
+        flip = rng.random(src.shape) < 0.05
+        descs[n_kf - n_rev + j] = np.where(flip, 1 - src, src)
+
+    voc = vocab_mod.train_vocabulary(
+        descs[: 60].reshape(-1, 256), branching=10, depth=4, iters=4,
+        max_train=18000,
+    )
+    assert voc.n_words == 10000
+
+    class _StubMap:
+        kf_valid = np.zeros(max_kf, bool)
+        kf_desc_bits = descs
+        kf_feat_valid = np.ones((max_kf, n_feat), bool)
+
+        def covisible_keyframes(self, kf, min_weight=15, max_n=None):
+            ids = [i for i in (kf - 2, kf - 1, kf + 1, kf + 2)
+                   if 0 <= i < n_kf]
+            if max_n is not None:
+                ids = ids[:max_n]
+            return np.asarray(ids, np.int64), None
+
+    smap = _StubMap()
+    smap.kf_valid[:n_kf] = True
+    db = KeyFrameDatabase(voc, max_kf)
+
+    hits, false_pos, total_cands = 0, 0, 0
+    for kf in range(n_kf):
+        if kf >= n_kf - n_rev:
+            true_kf = kf - (n_kf - n_rev)
+            min_score = db.min_score_vs_covisibles(kf, smap)
+            cands = db.detect_loop_candidates(kf, smap, min_score)
+            total_cands += len(cands)
+            if any(abs(c - true_kf) <= 2 for c in cands):
+                hits += 1
+            false_pos += sum(1 for c in cands if abs(c - true_kf) > 2)
+        db.add(kf, descs[kf], np.ones(n_feat, bool))
+
+    assert hits >= 8, f"recall {hits}/10"
+    assert total_cands > 0
+    assert false_pos <= 0.2 * total_cands, (false_pos, total_cands)

@@ -47,20 +47,27 @@ def main(argv=None):
     max_frames = int(args.get("max_frames", 200))
     out = args.get("out", f"voc_{feature}.npz")
 
-    seq = dataset.load_sequence(seq_path)
+    # `sequence_path` accepts a comma-separated list (the reference trains
+    # on BOVISA; here multiple rendered sequences diversify the corpus)
     cfg = ExtractorConfig.for_feature(feature, n_features=int(args.get("n_features", 1000)))
     descs = []
-    paths = seq.image_paths[::every][:max_frames]
-    for i, p in enumerate(paths):
-        img = dataset.load_gray(p)
-        feats = extract_features(jnp.asarray(img), cfg, *img.shape)
-        v = np.asarray(feats["valid"])
-        descs.append(np.asarray(feats["desc_bits"])[v])
-        print(f"[{i + 1}/{len(paths)}] {p}: {int(v.sum())} descriptors", flush=True)
+    for sp in seq_path.split(","):
+        seq = dataset.load_sequence(sp)
+        paths = seq.image_paths[::every][:max_frames]
+        for i, p in enumerate(paths):
+            img = dataset.load_gray(p)
+            feats = extract_features(jnp.asarray(img), cfg, *img.shape)
+            v = np.asarray(feats["valid"])
+            descs.append(np.asarray(feats["desc_bits"])[v])
+            print(f"[{i + 1}/{len(paths)}] {p}: {int(v.sum())} descriptors", flush=True)
     descs = np.concatenate(descs)
     print(f"training vocabulary on {len(descs)} descriptors "
           f"(branching={branching}, depth={depth})", flush=True)
-    voc = vocab_mod.train_vocabulary(descs, branching=branching, depth=depth)
+    voc = vocab_mod.train_vocabulary(
+        descs, branching=branching, depth=depth,
+        iters=int(args.get("iters", 8)),
+        max_train=int(args.get("max_train", 50000)),
+    )
     voc.save(out)
     print(f"saved {out} ({voc.n_words} words)")
     return 0
