@@ -112,27 +112,45 @@ def point_sharded_bundle_adjust(
         axis_name="pt", points_sharded=True,
     )
 
+    in_specs = (
+        P(),        # poses replicated
+        P("pt"),    # points sharded
+        P(),        # kf_free replicated
+        P("pt"), P("pt"), P("pt"), P("pt"), P("pt"),  # obs arrays
+        P(), P(), P(), P(),
+    )
     fn = shard_map(
         impl,
         mesh=mesh,
-        in_specs=(
-            P(),        # poses replicated
-            P("pt"),    # points sharded
-            P(),        # kf_free replicated
-            P("pt"), P("pt"), P("pt"), P("pt"), P("pt"),  # obs arrays
-            P(), P(), P(), P(),
-        ),
+        in_specs=in_specs,
         out_specs=(P(), P("pt"), P("pt"), P("pt")),
         check_rep=False,
     )
-    return jax.jit(fn)(
-        jnp.asarray(poses), jnp.asarray(pts_pad), jnp.asarray(kf_free),
-        jnp.asarray(obs["obs_kf"]), jnp.asarray(obs["obs_pt"]),
-        jnp.asarray(obs["obs_uv"]), jnp.asarray(obs["obs_w"]),
-        jnp.asarray(obs["obs_valid"]),
-        jnp.asarray(fx, jnp.float32), jnp.asarray(fy, jnp.float32),
-        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
+    args = (
+        np.asarray(poses, np.float32), np.asarray(pts_pad, np.float32),
+        np.asarray(kf_free), np.asarray(obs["obs_kf"]),
+        np.asarray(obs["obs_pt"]), np.asarray(obs["obs_uv"], np.float32),
+        np.asarray(obs["obs_w"], np.float32), np.asarray(obs["obs_valid"]),
+        np.asarray(fx, np.float32), np.asarray(fy, np.float32),
+        np.asarray(cx, np.float32), np.asarray(cy, np.float32),
     )
+    # Build GLOBAL arrays explicitly (make_array_from_callback slices each
+    # process's full host copy): required for multi-process (multi-host)
+    # meshes, where jit cannot implicitly reshard process-local arrays;
+    # identical behavior on a single process.
+    global_args = tuple(
+        _put_global(mesh, spec, a) for spec, a in zip(in_specs, args)
+    )
+    return jax.jit(fn)(*global_args)
+
+
+def _put_global(mesh: Mesh, spec, x: np.ndarray):
+    """Host numpy (full copy on every process) -> global jax.Array with
+    NamedSharding(mesh, spec)."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def global_ba_point_sharded(

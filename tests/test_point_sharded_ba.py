@@ -67,3 +67,45 @@ def test_point_sharded_matches_single_chip():
         np.asarray(c1)[valid], c2[valid], rtol=2e-2, atol=5e-2
     )
     assert pose_error_scale_aligned(jnp.asarray(p2), poses_gt) < 0.05
+
+
+def test_multiprocess_point_sharded_ba():
+    """Multi-HOST tier (SURVEY 2.7): two OS processes, 4 virtual CPU
+    devices each, stitched by jax.distributed into one 8-device global
+    mesh; the point-sharded layout must reproduce the single-process
+    optimum across the process boundary. This is the exact code path a
+    multi-host TPU pod slice uses (ICI within a process's devices, DCN
+    between processes)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    worker = _os.path.join(here, "multihost_ba_worker.py")
+    env = dict(_os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(port), str(i), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+        assert "MULTIHOST_OK" in out, out[-2000:]
