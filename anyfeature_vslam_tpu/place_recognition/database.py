@@ -54,6 +54,14 @@ class KeyFrameDatabase:
         return ids.astype(np.int32), w
 
     def add(self, kf: int, desc_bits, valid):
+        while kf >= self.max_kf:
+            # track SlamMap keyframe-capacity growth
+            self.kf_words = np.pad(
+                self.kf_words, ((0, self.max_kf), (0, 0)), constant_values=-1
+            )
+            self.kf_weights = np.pad(self.kf_weights, ((0, self.max_kf), (0, 0)))
+            self.present = np.pad(self.present, (0, self.max_kf))
+            self.max_kf *= 2
         ids, w = self.compute_bow(desc_bits, valid)
         while len(ids) > self._cap:
             self.kf_words = np.pad(
@@ -119,14 +127,18 @@ class KeyFrameDatabase:
         """
         bow_q = self._kf_bow(kf, slam_map)
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
+        # the map may have grown past the database arrays between adds;
+        # out-of-range ids cannot be in the database anyway
         exclude = np.zeros(self.max_kf, bool)
-        exclude[kf] = True
-        exclude[cov] = True
+        if kf < self.max_kf:
+            exclude[kf] = True
+        cov = np.asarray(cov)
+        exclude[cov[cov < self.max_kf]] = True
         covis_groups = self._covis_groups(slam_map)
         return self._query(bow_q, exclude, min_score, covis_groups)
 
     def _kf_bow(self, kf: int, slam_map):
-        if self.present[kf]:
+        if kf < self.max_kf and self.present[kf]:
             v = self.kf_words[kf] >= 0
             return self.kf_words[kf][v], self.kf_weights[kf][v]
         return self.compute_bow(
@@ -145,14 +157,14 @@ class KeyFrameDatabase:
             if not slam_map.kf_valid[kf]:
                 continue
             cov, _ = slam_map.covisible_keyframes(int(kf), min_weight=15, max_n=top)
-            groups[int(kf)] = [int(c) for c in cov]
+            groups[int(kf)] = [int(c) for c in cov if c < self.max_kf]
         return groups
 
     def min_score_vs_covisibles(self, kf: int, slam_map) -> float:
         """Reference DetectLoop: minScore = min BoW score between the new KF
         and its covisibles (LoopClosing.cc:136-151)."""
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
-        cov = [int(c) for c in cov if self.present[c]]
+        cov = [int(c) for c in cov if c < self.max_kf and self.present[c]]
         if len(cov) == 0:
             return 0.0
         ids_q, w_q = self._kf_bow(kf, slam_map)

@@ -146,11 +146,67 @@ class SlamMap:
     def inform_big_change(self):
         self.change_idx += 1
 
+    def _grow_keyframes(self):
+        """Double keyframe capacity in place (pads every kf_* array).
+        Slot indices are preserved, so nothing outside this class needs
+        remapping; fixed-shape device programs sized by max_kf (pose
+        graph) recompile once at the new bucket. The reference grows its
+        pointer graph unboundedly (Map.h); we grow in powers of two."""
+        old = self.max_kf
+        self.max_kf = old * 2
+        grow = old
+        self.kf_valid = np.pad(self.kf_valid, (0, grow))
+        self.kf_uid = np.pad(self.kf_uid, (0, grow), constant_values=-1)
+        self.kf_pose = np.concatenate(
+            [self.kf_pose, np.tile(np.eye(4, dtype=np.float32), (grow, 1, 1))]
+        )
+        self.kf_ts = np.pad(self.kf_ts, (0, grow))
+        self.kf_frame_id = np.pad(self.kf_frame_id, (0, grow), constant_values=-1)
+        self.kf_matches = np.pad(
+            self.kf_matches, ((0, grow), (0, 0)), constant_values=-1
+        )
+        for name in ("kf_uv", "kf_desc_bits", "kf_octave", "kf_angle"):
+            arr = getattr(self, name)
+            setattr(self, name, np.pad(
+                arr, ((0, grow),) + ((0, 0),) * (arr.ndim - 1)
+            ))
+        self.kf_size = np.pad(self.kf_size, ((0, grow), (0, 0)),
+                              constant_values=1.0)
+        self.kf_inv_sigma2 = np.pad(self.kf_inv_sigma2, ((0, grow), (0, 0)),
+                                    constant_values=1.0)
+        self.kf_feat_valid = np.pad(self.kf_feat_valid, ((0, grow), (0, 0)))
+        self.kf_depth = np.pad(self.kf_depth, ((0, grow), (0, 0)),
+                               constant_values=-1.0)
+
+    def _grow_points(self, need: int):
+        """Double point capacity (repeatedly) until `need` free slots
+        exist. Point ids are preserved."""
+        while (~self.pt_valid).sum() < need:
+            old = self.max_pt
+            self.max_pt = old * 2
+            grow = old
+            self.pt_valid = np.pad(self.pt_valid, (0, grow))
+            self.pt_pos = np.pad(self.pt_pos, ((0, grow), (0, 0)))
+            self.pt_desc_bits = np.pad(self.pt_desc_bits, ((0, grow), (0, 0)))
+            self.pt_normal = np.pad(self.pt_normal, ((0, grow), (0, 0)))
+            for name in ("pt_min_dist", "pt_max_dist", "pt_visible", "pt_found"):
+                setattr(self, name, np.pad(getattr(self, name), (0, grow)))
+            for name, fill in (("pt_ref_kf", -1), ("pt_first_kf", -1),
+                               ("pt_replaced", -1)):
+                setattr(self, name, np.pad(
+                    getattr(self, name), (0, grow), constant_values=fill
+                ))
+            self.pt_ref_size = np.pad(self.pt_ref_size, (0, grow),
+                                      constant_values=1.0)
+            self.pt_ref_dist = np.pad(self.pt_ref_dist, (0, grow),
+                                      constant_values=1.0)
+
     def add_keyframe(self, pose, ts, frame_id, feats, matches) -> int:
         """feats: dict of numpy arrays from the frontend (+ uv_und)."""
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
-            raise RuntimeError("keyframe capacity exhausted")
+            self._grow_keyframes()
+            free = np.nonzero(~self.kf_valid)[0]
         kf = int(free[0])
         self.kf_valid[kf] = True
         self.kf_pose[kf] = pose
@@ -212,7 +268,8 @@ class SlamMap:
         m = len(positions)
         free = np.nonzero(~self.pt_valid)[0][:m]
         if len(free) < m:
-            raise RuntimeError("map point capacity exhausted")
+            self._grow_points(m)
+            free = np.nonzero(~self.pt_valid)[0][:m]
         ids = free.astype(np.int32)
         self.pt_valid[ids] = True
         self.pt_replaced[ids] = -1

@@ -95,3 +95,58 @@ def test_two_level_retirement():
     m.remove_keyframe(parent_slot)
     resolved = m.resolve_anchor(t_cr, uid1)
     np.testing.assert_allclose(resolved, direct, atol=1e-4)
+
+
+def test_capacity_growth():
+    """Exceeding keyframe / point capacity grows the SoA in place (slots
+    and point ids preserved) instead of raising — a BOVISA-length run must
+    degrade gracefully, never crash (VERDICT r1 item 9)."""
+    import numpy as np
+    from anyfeature_vslam_tpu.slam.map_state import SlamMap
+
+    rng = np.random.default_rng(0)
+    m = SlamMap(max_kf=4, max_pt=32, n_feat=16, desc_dim=8)
+
+    def feats():
+        return dict(
+            uv_und=rng.uniform(0, 100, (16, 2)).astype(np.float32),
+            desc_bits=rng.integers(0, 2, (16, 8)).astype(np.uint8),
+            octave=np.zeros(16, np.int32), size=np.ones(16, np.float32),
+            angle=np.zeros(16, np.float32),
+            inv_sigma2=np.ones(16, np.float32),
+            valid=np.ones(16, bool),
+        )
+
+    poses = {}
+    for i in range(11):  # > 2 doublings of max_kf=4
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [i, 0, 0]
+        kf = m.add_keyframe(pose, float(i), i, feats(),
+                            np.full(16, -1, np.int32))
+        poses[kf] = pose
+    assert m.max_kf >= 16 and m.n_keyframes() == 11
+    for kf, pose in poses.items():  # earlier slots untouched by growth
+        np.testing.assert_array_equal(m.kf_pose[kf], pose)
+
+    ids1 = m.add_points(rng.normal(size=(30, 3)).astype(np.float32),
+                        rng.integers(0, 2, (30, 8)).astype(np.uint8),
+                        ref_kf=0, ref_sizes=np.ones(30, np.float32))
+    pos1 = m.pt_pos[ids1].copy()
+    ids2 = m.add_points(rng.normal(size=(40, 3)).astype(np.float32),
+                        rng.integers(0, 2, (40, 8)).astype(np.uint8),
+                        ref_kf=1, ref_sizes=np.ones(40, np.float32))
+    assert m.max_pt >= 70 and m.n_points() == 70
+    assert len(np.intersect1d(ids1, ids2)) == 0
+    np.testing.assert_array_equal(m.pt_pos[ids1], pos1)
+
+    # database follows keyframe growth
+    from anyfeature_vslam_tpu.place_recognition import vocab as vocab_mod
+    from anyfeature_vslam_tpu.place_recognition.database import KeyFrameDatabase
+
+    voc = vocab_mod.train_vocabulary(
+        rng.integers(0, 2, (500, 8)).astype(np.uint8), branching=4, depth=2,
+        iters=2)
+    db = KeyFrameDatabase(voc, max_kf=4)
+    for kf in m.keyframe_ids():
+        db.add(int(kf), m.kf_desc_bits[kf], m.kf_feat_valid[kf])
+    assert db.present.sum() == 11
