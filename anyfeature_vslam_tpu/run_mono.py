@@ -43,6 +43,7 @@ def main(argv=None):
         vocabulary_folder=args.get("vocabulary_folder"),
         sensor=args.get("sensor", "monocular"),
         bf=float(args.get("bf", 0.0)),
+        pace=args.get("pace", "0") not in ("0", "false"),
         n_features=int(args["n_features"]) if "n_features" in args else None,
     )
     import numpy as np

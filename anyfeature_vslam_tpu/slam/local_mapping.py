@@ -156,6 +156,7 @@ def run_bundle_adjustment(
         np_poses = np.asarray(new_poses)
         np_pts = np.asarray(new_pts)
         outlier = np.asarray(outlier_dev)[:n_obs]
+        slam_map.rev += 1
 
         def same_kf(kf):
             return (

@@ -79,6 +79,9 @@ class SlamMap:
         # big-change counter (reference Map::InformNewBigChange / index,
         # consumed by System::MapChanged)
         self.change_idx = 0
+        # fine-grained revision: bumped on ANY mutation of point/keyframe
+        # geometry or structure; device-side caches key on it
+        self.rev = 0
 
     # ---------------------------------------------------------- checkpoint
     _SCALARS = (
@@ -203,6 +206,7 @@ class SlamMap:
 
     def add_keyframe(self, pose, ts, frame_id, feats, matches) -> int:
         """feats: dict of numpy arrays from the frontend (+ uv_und)."""
+        self.rev += 1
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
             self._grow_keyframes()
@@ -232,6 +236,7 @@ class SlamMap:
         """Cull a keyframe; retire its identity against a surviving anchor
         so recorded frame poses (T_cur_ref) stay replayable after the slot
         is recycled (reference SetBadFlag Tcp, src/KeyFrame.cc:492-588)."""
+        self.rev += 1
         uid = int(self.kf_uid[kf])
         if uid >= 0:
             cov, _ = self.covisible_keyframes(kf, min_weight=1, max_n=1)
@@ -265,6 +270,7 @@ class SlamMap:
 
     def add_points(self, positions, desc_bits, ref_kf, ref_sizes, first_kf=None):
         """Bulk-add points; returns assigned ids (int32 array)."""
+        self.rev += 1
         m = len(positions)
         free = np.nonzero(~self.pt_valid)[0][:m]
         if len(free) < m:
@@ -285,6 +291,7 @@ class SlamMap:
         return ids
 
     def remove_points(self, ids):
+        self.rev += 1
         ids = np.asarray(ids, np.int32)
         if len(ids) == 0:
             return
@@ -298,6 +305,7 @@ class SlamMap:
     def merge_points(self, keep_ids, drop_ids):
         """Replace each drop point with its keep point everywhere (reference
         MapPoint::Replace, src/MapPoint.cc:213-252). Deduplicates slots."""
+        self.rev += 1
         remap = {}
         for keep, drop in zip(keep_ids, drop_ids):
             keep, drop = int(keep), int(drop)
@@ -412,6 +420,7 @@ class SlamMap:
         UpdateNormalAndDepth :372-430)."""
         from anyfeature_vslam_tpu import native
 
+        self.rev += 1
         if pt_ids is None:
             pt_ids = np.nonzero(self.pt_valid)[0]
         pt_ids = np.asarray(pt_ids)

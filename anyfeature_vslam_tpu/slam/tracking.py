@@ -66,11 +66,88 @@ class TrackingConfig:
     seed: int = 0
 
 
+class DeviceFeats(dict):
+    """Frame features living ON DEVICE, with lazy host mirrors.
+
+    Device->host transfer is the dominant per-frame cost on a remote-TPU
+    (tunnel) backend (~23 ms RTT + ~45 MB/s here) and non-trivial even
+    locally; descriptors are ~270 KB/frame. So:
+      - ``feats.dev(k)`` returns the device array (what every matcher
+        consumes) with ZERO transfer;
+      - ``feats[k]`` fetches host numpy lazily — all small fields in one
+        batched transfer on first access, descriptors only when actually
+        touched (keyframe creation, relocalization bookkeeping).
+    Host-computed fields (depth, u_right) are plain dict entries; their
+    device versions are uploaded on demand and cached.
+    """
+
+    _BULKY = ("desc_bits",)
+
+    def __init__(self, devd: dict):
+        super().__init__()
+        self._dev = dict(devd)
+        self._fetched_small = False
+
+    def dev(self, k):
+        if k in self._dev:
+            return self._dev[k]
+        arr = jnp.asarray(super().__getitem__(k))
+        self._dev[k] = arr
+        return arr
+
+    def _fetch_small(self):
+        keys = [k for k in self._dev
+                if k not in self._BULKY and not super().__contains__(k)]
+        if keys:
+            vals = jax.device_get([self._dev[k] for k in keys])
+            for k, v in zip(keys, vals):
+                super().__setitem__(k, v)
+        self._fetched_small = True
+
+    def __getitem__(self, k):
+        if not super().__contains__(k):
+            if k in self._BULKY and k in self._dev:
+                super().__setitem__(k, jax.device_get(self._dev[k]))
+            elif not self._fetched_small:
+                self._fetch_small()
+        return super().__getitem__(k)
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        self._dev.pop(k, None)  # host write invalidates the device copy
+
+    def __contains__(self, k):
+        return super().__contains__(k) or k in self._dev
+
+    def get(self, k, default=None):
+        return self[k] if k in self else default
+
+    def materialize(self):
+        for k in list(self._dev):
+            self[k]
+        return self
+
+    def items(self):
+        self.materialize()
+        return super().items()
+
+    def keys(self):
+        self.materialize()
+        return super().keys()
+
+    @classmethod
+    def from_numpy(cls, d: dict):
+        f = cls({})
+        for k, v in d.items():
+            dict.__setitem__(f, k, v)
+        return f
+
+
 @dataclass
 class FrameData:
     frame_id: int
     ts: float
-    feats: dict            # numpy arrays incl. uv_und (+ depth/u_right for rgbd/stereo)
+    feats: dict            # DeviceFeats (or plain numpy dict) incl. uv_und
     pose: np.ndarray | None = None       # Tcw 4x4
     matches: np.ndarray | None = None    # (N,) kp slot -> point id or -1
     # "visual odometry" 3D points (localization mode, rgbd/stereo): per-slot
@@ -86,6 +163,32 @@ def _np(d):
     return dict(zip(d.keys(), jax.device_get(list(d.values()))))
 
 
+class DevicePointBlock:
+    """Device-resident slice of the map's point SoA for projection
+    matching, cached on (map.rev, candidate ids). Between keyframes the
+    map is immutable (mapping mutates only at keyframe events), so the
+    ~0.3 MB of candidate positions/normals/descriptors uploads ONCE per
+    local-map change instead of every frame — the host->device analogue
+    of the DeviceFeats readback saving."""
+
+    FIELDS = ("pt_pos", "pt_normal", "pt_min_dist", "pt_max_dist",
+              "pt_ref_size", "pt_ref_dist", "pt_desc_bits")
+
+    def __init__(self, slam_map: SlamMap):
+        self.map = slam_map
+        self._key = None
+        self._data = None
+
+    def get(self, idx: np.ndarray):
+        key = (self.map.rev, idx.shape[0], hash(idx.tobytes()))
+        if key != self._key:
+            self._key = key
+            self._data = tuple(
+                jax.device_put(getattr(self.map, f)[idx]) for f in self.FIELDS
+            )
+        return self._data
+
+
 def _pad_pow2(n, lo=256):
     c = lo
     while c < n:
@@ -96,8 +199,10 @@ def _pad_pow2(n, lo=256):
 @partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def _extract_undistort(img, cam, cfg, height: int, width: int):
     """Extraction + keypoint undistortion fused into one dispatch (the
-    reference Frame ctor does both before Track(), src/Frame.cc:171-242)."""
-    feats = extract_features(img, cfg, height, width)
+    reference Frame ctor does both before Track(), src/Frame.cc:171-242).
+    The image arrives as uint8 (4x less host->device traffic — PNG sources
+    are 8-bit anyway) and is cast to f32 on device."""
+    feats = extract_features(img.astype(jnp.float32), cfg, height, width)
     feats["uv_und"] = cam_ops.undistort_points(cam, feats["xy"]).astype(jnp.float32)
     return feats
 
@@ -123,6 +228,7 @@ class Tracker:
         self.bounds_lo = np.array([float(b[0]), float(b[2])], np.float32)
         self.bounds_hi = np.array([float(b[1]), float(b[3])], np.float32)
         self.velocity = None          # T_cur_last
+        self._pt_block = DevicePointBlock(slam_map)
         self.last: FrameData | None = None
         self.init_ref: FrameData | None = None
         self.ref_kf: int = -1
@@ -161,12 +267,19 @@ class Tracker:
                 )
             feats = load_precomputed_features(image_path, cfg.capacity, cfg.desc_dim)
             feats["uv_und"] = np.asarray(
-                cam_ops.undistort_points(self.cam, jnp.asarray(feats["xy"]))
+                cam_ops.undistort_points(self.cam, feats.dev("xy"))
             ).astype(np.float32)
+            feats = DeviceFeats.from_numpy(feats)
         else:
-            feats = _np(
+            # features stay ON DEVICE; host mirrors are fetched lazily
+            # (DeviceFeats) — descriptors only at keyframe creation
+            img8 = img if img.dtype == np.uint8 else np.clip(
+                img, 0, 255
+            ).astype(np.uint8)
+            feats = DeviceFeats(
                 _extract_undistort(
-                    jnp.asarray(img), self.cam, cfg, img.shape[0], img.shape[1]
+                    jnp.asarray(img8), self.cam, cfg,
+                    img.shape[0], img.shape[1],
                 )
             )
         return feats
@@ -200,8 +313,8 @@ class Tracker:
         # with minZ = baseline (ORB-SLAM2 convention), i.e. max_disp = fx
         res = _np(
             frame_ops.match_stereo_rows(
-                jnp.asarray(feats["desc_bits"]), jnp.asarray(feats["xy"]),
-                jnp.asarray(feats["size"]), jnp.asarray(feats["valid"]),
+                feats.dev("desc_bits"), feats.dev("xy"),
+                feats.dev("size"), feats.dev("valid"),
                 jnp.asarray(right["desc_bits"]), jnp.asarray(right["xy"]),
                 jnp.asarray(right["size"]), jnp.asarray(right["valid"]),
                 self.cfg.match_th, 0.0, fx,
@@ -305,12 +418,12 @@ class Tracker:
         ref = self.init_ref
         res = _np(
             frame_ops.match_for_initialization(
-                jnp.asarray(ref.feats["uv_und"]), jnp.asarray(ref.feats["desc_bits"]),
-                jnp.asarray(ref.feats["octave"]), jnp.asarray(ref.feats["angle"]),
-                jnp.asarray(ref.feats["valid"]),
-                jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
-                jnp.asarray(frame.feats["octave"]), jnp.asarray(frame.feats["angle"]),
-                jnp.asarray(frame.feats["valid"]),
+                ref.feats.dev("uv_und"), ref.feats.dev("desc_bits"),
+                ref.feats.dev("octave"), ref.feats.dev("angle"),
+                ref.feats.dev("valid"),
+                frame.feats.dev("uv_und"), frame.feats.dev("desc_bits"),
+                frame.feats.dev("octave"), frame.feats.dev("angle"),
+                frame.feats.dev("valid"),
                 cfg.init_window, cfg.match_th, cfg.init_ratio,
             )
         )
@@ -551,8 +664,8 @@ class Tracker:
             mask = has | use_vo
         t, inlier, n_in = pose_opt.pose_optimize(
             jnp.asarray(init_pose.astype(np.float32)), jnp.asarray(pts),
-            jnp.asarray(frame.feats["uv_und"]),
-            jnp.asarray(frame.feats["inv_sigma2"]),
+            frame.feats.dev("uv_und"),
+            frame.feats.dev("inv_sigma2"),
             jnp.asarray(mask & frame.feats["valid"]),
             float(self.cam.fx), float(self.cam.fy), float(self.cam.cx), float(self.cam.cy),
         )
@@ -604,12 +717,12 @@ class Tracker:
 
         res = _np(
             frame_ops.match_frame_to_frame_2r(
-                jnp.asarray(last.feats["uv_und"]), jnp.asarray(last.feats["desc_bits"]),
-                jnp.asarray(last.feats["size"]), jnp.asarray(has_pt),
+                last.feats.dev("uv_und"), last.feats.dev("desc_bits"),
+                last.feats.dev("size"), jnp.asarray(has_pt),
                 jnp.asarray(uv_proj), jnp.asarray(proj_valid),
-                jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
-                jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
-                jnp.asarray(last.feats["angle"]), jnp.asarray(frame.feats["angle"]),
+                frame.feats.dev("uv_und"), frame.feats.dev("desc_bits"),
+                frame.feats.dev("size"), frame.feats.dev("valid"),
+                last.feats.dev("angle"), frame.feats.dev("angle"),
                 float(cfg.motion_radius), cfg.match_th, cfg.min_motion_matches,
             )
         )
@@ -645,8 +758,8 @@ class Tracker:
         kf_has_pt = self.map.kf_matches[kf] >= 0
         res = _np(
             frame_ops.match_descriptors_global(
-                jnp.asarray(frame.feats["desc_bits"]), jnp.asarray(frame.feats["valid"]),
-                jnp.asarray(frame.feats["angle"]),
+                frame.feats.dev("desc_bits"), frame.feats.dev("valid"),
+                frame.feats.dev("angle"),
                 jnp.asarray(self.map.kf_desc_bits[kf]),
                 jnp.asarray(kf_has_pt & self.map.kf_feat_valid[kf]),
                 jnp.asarray(self.map.kf_angle[kf]),
@@ -700,27 +813,32 @@ class Tracker:
         local_kfs, local_pts = self._local_map_ids(frame)
         if len(local_pts) == 0:
             return False
-        # exclude points already matched in this frame
-        cand = np.setdiff1d(
-            local_pts, frame.matches[frame.matches >= 0]
-        ).astype(np.int64)
+        # candidate block = ALL local points (device-cached across frames
+        # while the map revision + id set is unchanged); points already
+        # matched this frame are excluded via the per-frame validity mask
+        # (a tiny upload) instead of rebuilding the block
+        cand = local_pts.astype(np.int64)
         if len(cand) > 0:
             bucket = _pad_pow2(len(cand), lo=min(self.cfg.local_pt_bucket, 256))
             pad = bucket - len(cand)
             idx = np.concatenate([cand, np.zeros(pad, np.int64)])
-            pad_valid = np.concatenate([np.ones(len(cand), bool), np.zeros(pad, bool)])
-
+            already = np.zeros(self.map.max_pt, bool)
+            already[frame.matches[frame.matches >= 0]] = True
+            pad_valid = np.concatenate(
+                [~already[cand], np.zeros(pad, bool)]
+            )
+            (pos_d, nrm_d, mind_d, maxd_d, rsz_d, rds_d, bits_d) = (
+                self._pt_block.get(idx)
+            )
             res = _np(
                 frame_ops.project_and_match(
-                    jnp.asarray(self.map.pt_pos[idx]), jnp.asarray(self.map.pt_normal[idx]),
-                    jnp.asarray(self.map.pt_min_dist[idx]), jnp.asarray(self.map.pt_max_dist[idx]),
-                    jnp.asarray(self.map.pt_ref_size[idx]), jnp.asarray(self.map.pt_ref_dist[idx]),
-                    jnp.asarray(self.map.pt_desc_bits[idx]), jnp.asarray(pad_valid),
+                    pos_d, nrm_d, mind_d, maxd_d, rsz_d, rds_d,
+                    bits_d, jnp.asarray(pad_valid),
                     jnp.asarray(frame.pose), float(self.cam.fx), float(self.cam.fy),
                     float(self.cam.cx), float(self.cam.cy),
                     jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
-                    jnp.asarray(frame.feats["uv_und"]), jnp.asarray(frame.feats["desc_bits"]),
-                    jnp.asarray(frame.feats["size"]), jnp.asarray(frame.feats["valid"]),
+                    frame.feats.dev("uv_und"), frame.feats.dev("desc_bits"),
+                    frame.feats.dev("size"), frame.feats.dev("valid"),
                     cfg.local_radius, cfg.match_th, cfg.local_ratio,
                 )
             )
@@ -764,8 +882,8 @@ class Tracker:
             kf_has_pt = self.map.kf_matches[kf] >= 0
             res = _np(
                 frame_ops.match_descriptors_global(
-                    jnp.asarray(frame.feats["desc_bits"]), jnp.asarray(frame.feats["valid"]),
-                    jnp.asarray(frame.feats["angle"]),
+                    frame.feats.dev("desc_bits"), frame.feats.dev("valid"),
+                    frame.feats.dev("angle"),
                     jnp.asarray(self.map.kf_desc_bits[kf]),
                     jnp.asarray(kf_has_pt & self.map.kf_feat_valid[kf]),
                     jnp.asarray(self.map.kf_angle[kf]),
@@ -854,10 +972,10 @@ class Tracker:
                 jnp.asarray(pose), float(self.cam.fx), float(self.cam.fy),
                 float(self.cam.cx), float(self.cam.cy),
                 jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
-                jnp.asarray(frame.feats["uv_und"]),
-                jnp.asarray(frame.feats["desc_bits"]),
-                jnp.asarray(frame.feats["size"]),
-                jnp.asarray(frame.feats["valid"]),
+                frame.feats.dev("uv_und"),
+                frame.feats.dev("desc_bits"),
+                frame.feats.dev("size"),
+                frame.feats.dev("valid"),
                 float(radius), self.cfg.match_th, None,
             )
         )

@@ -408,8 +408,14 @@ def run_sequence(
     sensor: str = "monocular",
     bf: float = 0.0,
     n_features: int | None = None,
+    pace: bool = False,
 ):
     """End-to-end: load sequence, run SLAM, save trajectory. Returns System.
+
+    pace=True replays in real time: the loop sleeps to match inter-frame
+    timestamps like the reference main loop (reference
+    src/vslamlab_anyfeature_mono.cpp:161-169); frames are never dropped,
+    only delayed (the reference blocks identically).
 
     The optional overrides mirror the reference CLI
     (src/vslamlab_anyfeature_mono.cpp:47-109): external calibration/rgb
@@ -442,7 +448,14 @@ def run_sequence(
     loader = native.FrameLoader(
         seq.image_paths[:n], seq.camera.height, seq.camera.width
     )
+    t_start = time.perf_counter()
     for i in range(n):
+        if pace and i > 0:
+            # sleep until this frame's timestamp offset from the first
+            target = seq.timestamps[i] - seq.timestamps[0]
+            lag = target - (time.perf_counter() - t_start)
+            if lag > 0:
+                time.sleep(lag)
         img = loader.get(i)
         if sensor == "rgbd":
             depth = dataset.load_depth(seq.depth_paths[i], seq.depth_factor)

@@ -88,6 +88,12 @@ def main():
     import numpy as np
     import jax
 
+    # persistent compilation cache: the system bench compiles ~20 programs
+    # (extraction, matchers, BA buckets); repeat runs skip all of it
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from anyfeature_vslam_tpu.flagship import tracking_step, make_example  # noqa: F401
     from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig
     from anyfeature_vslam_tpu.io import dataset
