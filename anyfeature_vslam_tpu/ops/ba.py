@@ -69,6 +69,54 @@ def _inv3x3(m):
     return adj / det[..., None, None]
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly in the reals (err captures the
+    f32 rounding of s = a + b)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def segment_sum_compensated(vals, ids, num_segments: int, n_chunks: int = 64):
+    """Compensated (two-float) segment sum for the BA normal equations.
+
+    TPU has no fast f64, so plain f32 `segment_sum` accumulates O(sqrt(O))
+    ulp error over large observation counts — enough to stall LM on
+    ill-conditioned systems (huge information-weight dynamic range, deep
+    low-parallax points; SURVEY section 7 numerics note). This splits the
+    observation axis into `n_chunks` independent f32 partial segment-sums
+    and combines the partials with a Kahan/TwoSum running-error scan, so
+    cross-chunk cancellation and dynamic range are captured at roughly
+    double-f32 precision. Intra-chunk error shrinks with chunk length
+    (O / n_chunks additions); raise n_chunks for harder problems.
+    """
+    o = vals.shape[0]
+    pad = (-o) % n_chunks
+    if pad:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad,) + vals.shape[1:], vals.dtype)]
+        )
+        # out-of-range ids are dropped by segment_sum
+        ids = jnp.concatenate(
+            [ids, jnp.full((pad,), num_segments, ids.dtype)]
+        )
+    vals_c = vals.reshape((n_chunks, -1) + vals.shape[1:])
+    ids_c = ids.reshape(n_chunks, -1)
+    partials = jax.vmap(
+        lambda v, i: jax.ops.segment_sum(v, i, num_segments=num_segments)
+    )(vals_c, ids_c)
+
+    def body(carry, x):
+        s, e = carry
+        s2, err = _two_sum(s, x)
+        return (s2, e + err), None
+
+    zero = jnp.zeros_like(partials[0])
+    (s, e), _ = jax.lax.scan(body, (zero, zero), partials)
+    return s + e
+
+
 def _residuals(poses, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy):
     """Per-observation residuals + Jacobians.
 
@@ -128,6 +176,7 @@ def _bundle_adjust_impl(
     use_huber: bool = True,
     axis_name: str | None = None,
     points_sharded: bool = False,
+    compensated: bool = False,
 ):
     """Joint camera/point LM with Schur-marginalized points.
 
@@ -157,6 +206,14 @@ def _bundle_adjust_impl(
         axis (parallel/sharded_ba.py); identity single-chip."""
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    def seg_sum(v, ids, num):
+        """Normal-equation accumulation: compensated two-float form on
+        request (SURVEY section 7 numerics note; see
+        segment_sum_compensated)."""
+        if compensated:
+            return segment_sum_compensated(v, ids, num)
+        return jax.ops.segment_sum(v, ids, num_segments=num)
+
     def allr_pt(x):
         """Point-side reduction. Under the point-sharded layout
         (parallel/point_sharded_ba.py) every observation of a point lives on
@@ -184,17 +241,17 @@ def _bundle_adjust_impl(
         jcw = jc * w[:, None, None]
         jpw = jp * w[:, None, None]
         # Per-camera 6x6 blocks, per-point 3x3 blocks, gradients.
-        hcc = allr(jax.ops.segment_sum(
-            jnp.einsum("oij,oik->ojk", jcw, jc), obs_kf, num_segments=k_cams
+        hcc = allr(seg_sum(
+            jnp.einsum("oij,oik->ojk", jcw, jc), obs_kf, k_cams
         ))
-        hpp = allr_pt(jax.ops.segment_sum(
-            jnp.einsum("oij,oik->ojk", jpw, jp), obs_pt, num_segments=n_pts
+        hpp = allr_pt(seg_sum(
+            jnp.einsum("oij,oik->ojk", jpw, jp), obs_pt, n_pts
         ))
-        bc = -allr(jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", jcw, e), obs_kf, num_segments=k_cams
+        bc = -allr(seg_sum(
+            jnp.einsum("oij,oi->oj", jcw, e), obs_kf, k_cams
         ))
-        bp = -allr_pt(jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", jpw, e), obs_pt, num_segments=n_pts
+        bp = -allr_pt(seg_sum(
+            jnp.einsum("oij,oi->oj", jpw, e), obs_pt, n_pts
         ))
         # damping
         eye6 = jnp.eye(6, dtype=jnp.float32)
@@ -423,16 +480,26 @@ def _bundle_adjust_dense_impl(
     return poses, pts, chi2, z
 
 
-@partial(jax.jit, static_argnames=("n_iters", "n_cg", "use_huber"))
+@partial(jax.jit, static_argnames=("n_iters", "n_cg", "use_huber", "compensated"))
 def bundle_adjust(
     poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
     fx, fy, cx, cy,
     n_iters: int = 10, n_cg: int = 25, use_huber: bool = True,
+    compensated: bool = False,
 ):
     """Single-chip entry point: dense Schur solve for small problems,
-    matrix-free preconditioned CG at scale (see the two impls)."""
+    matrix-free preconditioned CG at scale (see the two impls).
+
+    compensated=True accumulates the normal equations with the two-float
+    segment sum (ill-conditioned / global-BA-scale problems; the dense
+    small-problem path is skipped because its per-(kf,pt) packed
+    accumulation has at most a handful of addends per segment and its
+    reduced solve is exact)."""
     k_cams, n_pts = poses.shape[0], pts.shape[0]
-    if k_cams * n_pts <= _DENSE_MAX_KP and k_cams <= _DENSE_MAX_K:
+    if (
+        not compensated
+        and k_cams * n_pts <= _DENSE_MAX_KP and k_cams <= _DENSE_MAX_K
+    ):
         return _bundle_adjust_dense_impl(
             poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
             fx, fy, cx, cy, n_iters=n_iters, use_huber=use_huber,
@@ -440,6 +507,7 @@ def bundle_adjust(
     return _bundle_adjust_impl(
         poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
         fx, fy, cx, cy, n_iters=n_iters, n_cg=n_cg, use_huber=use_huber,
+        compensated=compensated,
     )
 
 
@@ -453,6 +521,7 @@ def bundle_adjust_two_stage(
     poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
     fx, fy, cx, cy,
     n_iters_a: int = 5, n_iters_b: int = 10, n_cg: int = 25,
+    compensated: bool = False,
 ):
     """The reference's local-BA schedule (src/Optimizer.cc:649-699):
     5 Huber iterations, drop chi2>5.991 / negative-depth edges, then 10 more
@@ -464,11 +533,13 @@ def bundle_adjust_two_stage(
     poses, pts, chi2, z = bundle_adjust(
         poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
         fx, fy, cx, cy, n_iters=n_iters_a, n_cg=n_cg, use_huber=True,
+        compensated=compensated,
     )
     obs_valid2 = obs_valid & ~classify_outliers(chi2, z)
     poses, pts, chi2, z = bundle_adjust(
         poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid2,
         fx, fy, cx, cy, n_iters=n_iters_b, n_cg=n_cg, use_huber=False,
+        compensated=compensated,
     )
     # final classification against the ORIGINAL validity so culled edges are
     # reported as outliers (reference erases those observations from the map)

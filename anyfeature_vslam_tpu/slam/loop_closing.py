@@ -50,6 +50,16 @@ class LoopCloser:
         self._loop_points = None
         self.last_loop_kf = -1000
         self.n_loops_closed = 0
+        # when set (System wires it to the LocalMapper's pending-fold slot),
+        # the post-loop global BA is dispatched asynchronously and folded
+        # back before the next map mutation — the TPU-native counterpart of
+        # the reference's detached GBA thread (src/LoopClosing.cc:589-593,
+        # RunGlobalBundleAdjustment :659-763). Keyframes/points created
+        # while the solve runs are untouched by the fold (they were built
+        # on essential-graph-corrected state already, so the residual
+        # adjustment is small — the reference propagates it via the
+        # spanning tree instead).
+        self.defer_ba_sink = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, pre_mutate=None) -> bool:
@@ -428,20 +438,33 @@ class LoopCloser:
 
         # ---------------- essential graph ----------------
         self._optimize_essential_graph(kf, cand, corrected, pre_poses)
+        # persist the accepted loop edge for all future essential-graph
+        # solves (reference KeyFrame::AddLoopEdge, LoopClosing.cc:577-579)
+        m.loop_edges.append((int(m.kf_uid[kf]), int(m.kf_uid[cand])))
 
         # ---------------- global BA ----------------
         kf_ids = [int(k) for k in m.keyframe_ids()]
         pt_ids = np.nonzero(m.pt_valid)[0]
         fixed = [min(kf_ids)]
         free = [k for k in kf_ids if k not in fixed]
-        run_bundle_adjustment(
+        defer = self.defer_ba_sink is not None
+        fold = run_bundle_adjustment(
             m, self.cam, free, fixed, pt_ids, n_iters_a=5, n_iters_b=10,
-            mesh=self.mesh,
+            mesh=self.mesh, defer=defer,
         )
-        self.map.update_point_stats()
-        # loop closure + GBA = a "big change" (reference InformNewBigChange,
-        # surfaced through System::MapChanged)
-        self.map.inform_big_change()
+        if defer and fold is not None:
+            def gba_fold(f=fold, m=m):
+                f()
+                m.update_point_stats()
+                # loop closure + GBA = a "big change" (reference
+                # InformNewBigChange, surfaced through System::MapChanged)
+                m.inform_big_change()
+
+            gba_fold.device_results = fold.device_results
+            self.defer_ba_sink(gba_fold)
+        else:
+            self.map.update_point_stats()
+            self.map.inform_big_change()
 
     def _search_and_fuse(self, corrected: dict):
         """Project every loop-side map point into each corrected keyframe
@@ -493,26 +516,51 @@ class LoopCloser:
             t_all[i] = m.kf_pose[i][:3, 3]
 
         edges = []
+        seen_pairs = set()
 
         def add_edge(i, j, poses, w=1.0):
             """Measurement S_ij from the given pose snapshot."""
+            key = frozenset((i, j))
+            if key in seen_pairs or i == j:
+                return
+            seen_pairs.add(key)
             si = (poses[i][:3, :3], poses[i][:3, 3], np.float32(1.0))
             sj = (poses[j][:3, :3], poses[j][:3, 3], np.float32(1.0))
             meas = _compose(si, _inv(sj))
             edges.append((i, j, meas, w))
 
+        # loop edge measured from the CORRECTED relative pose (added first
+        # so the structural duplicate of the same pair is skipped)
+        add_edge(kf, cand, m.kf_pose, w=1.0)
+        # ALL past accepted loop edges (reference Optimizer.cc:914-927 via
+        # KeyFrame::GetLoopEdges) — without these a second loop closure can
+        # undo the first one's correction
+        for ua, ub in m.loop_edges:
+            a = m.uid_slot.get(int(ua))
+            b = m.uid_slot.get(int(ub))
+            if (
+                a is not None and b is not None
+                and m.kf_valid[a] and m.kf_valid[b]
+            ):
+                add_edge(int(a), int(b), pre_poses)
         # structural edges measured from PRE-correction poses (reference
-        # NonCorrectedSim3, Optimizer.cc:850-960): insertion-order chain
-        # (spanning-tree surrogate) + strong covisibility
+        # NonCorrectedSim3, Optimizer.cc:850-960): maintained covisibility
+        # spanning tree + strong covisibility
+        for i in kf_ids:
+            p = int(m.kf_parent[i])
+            if p >= 0 and m.kf_valid[p]:
+                add_edge(i, p, pre_poses)
+        # safety net for parentless keyframes (e.g. maps restored from old
+        # checkpoints): chain to the previous keyframe so the graph stays
+        # connected
         for a, b in zip(kf_ids[1:], kf_ids[:-1]):
-            add_edge(a, b, pre_poses)
+            if int(m.kf_parent[a]) < 0:
+                add_edge(a, b, pre_poses)
         for i in kf_ids:
             w = m.covisibility_weights(i)
             for j in np.nonzero(w >= COVIS_EDGE_MIN_WEIGHT)[0]:
                 if j > i:
                     add_edge(int(j), int(i), pre_poses)
-        # loop edge measured from the CORRECTED relative pose
-        add_edge(kf, cand, m.kf_pose, w=1.0)
 
         e = len(edges)
         ei = np.array([x[0] for x in edges], np.int32)

@@ -42,6 +42,15 @@ class SlamMap:
         self.uid_slot: dict = {}       # live uid -> slot
         self.retired_kfs: dict = {}    # uid -> (t_cp 4x4 f32, parent uid)
         self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))  # Tcw
+        # covisibility spanning tree: parent slot per keyframe (-1 = root).
+        # Parent = max-weight covisible at first connection update
+        # (reference KeyFrame::UpdateConnections, src/KeyFrame.cc:410-415);
+        # re-parented on cull (SetBadFlag, src/KeyFrame.cc:492-588).
+        self.kf_parent = np.full(k, -1, np.int32)
+        # accepted loop-closure edges as (uid, uid) pairs — persisted so
+        # every later essential-graph solve includes ALL past loop edges
+        # (reference Optimizer.cc:914-915 via KeyFrame::GetLoopEdges)
+        self.loop_edges: list[tuple[int, int]] = []
         self.kf_ts = np.zeros(k, np.float64)
         self.kf_frame_id = np.full(k, -1, np.int64)
         self.kf_matches = np.full((k, n), -1, np.int32)  # keypoint -> point id
@@ -107,6 +116,9 @@ class SlamMap:
             np.stack([self.retired_kfs[u][0] for u in ruids])
             if ruids else np.zeros((0, 4, 4), np.float32)
         )
+        arrays["__loop_edges__"] = np.asarray(
+            self.loop_edges, np.int64
+        ).reshape(-1, 2)
         meta = {k: getattr(self, k) for k in self._SCALARS}
         meta["desc_dtype"] = np.dtype(self.desc_dtype).name
         np.savez_compressed(path, __meta__=np.asarray([repr(meta)]), **arrays)
@@ -122,9 +134,11 @@ class SlamMap:
             desc_dim=meta["desc_dim"], desc_dtype=np.dtype(meta["desc_dtype"]),
         )
         for k in z.files:
-            if k == "__meta__" or k.startswith("__ret_"):
+            if k == "__meta__" or k.startswith("__ret_") or k == "__loop_edges__":
                 continue
             setattr(m, k, z[k])
+        if "__loop_edges__" in z.files:
+            m.loop_edges = [(int(a), int(b)) for a, b in z["__loop_edges__"]]
         m._next_kf = meta["_next_kf"]
         m._next_pt = meta["_next_pt"]
         m._uid_counter = meta.get("_uid_counter", int(m.kf_uid.max()) + 1)
@@ -160,6 +174,7 @@ class SlamMap:
         grow = old
         self.kf_valid = np.pad(self.kf_valid, (0, grow))
         self.kf_uid = np.pad(self.kf_uid, (0, grow), constant_values=-1)
+        self.kf_parent = np.pad(self.kf_parent, (0, grow), constant_values=-1)
         self.kf_pose = np.concatenate(
             [self.kf_pose, np.tile(np.eye(4, dtype=np.float32), (grow, 1, 1))]
         )
@@ -213,6 +228,7 @@ class SlamMap:
             free = np.nonzero(~self.kf_valid)[0]
         kf = int(free[0])
         self.kf_valid[kf] = True
+        self.kf_parent[kf] = -1
         self.kf_pose[kf] = pose
         self.kf_ts[kf] = ts
         self.kf_frame_id[kf] = frame_id
@@ -235,12 +251,46 @@ class SlamMap:
     def remove_keyframe(self, kf: int):
         """Cull a keyframe; retire its identity against a surviving anchor
         so recorded frame poses (T_cur_ref) stay replayable after the slot
-        is recycled (reference SetBadFlag Tcp, src/KeyFrame.cc:492-588)."""
+        is recycled (reference SetBadFlag Tcp, src/KeyFrame.cc:492-588),
+        and re-parent its spanning-tree children (same reference): each
+        child is greedily attached to the max-covisibility member of the
+        growing candidate set seeded with the culled keyframe's parent."""
         self.rev += 1
+        # --- spanning-tree re-parenting (reference KeyFrame.cc:504-580)
+        old_parent = int(self.kf_parent[kf])
+        if not (old_parent >= 0 and self.kf_valid[old_parent]):
+            old_parent = -1
+        children = {
+            int(c)
+            for c in np.nonzero((self.kf_parent == kf) & self.kf_valid)[0]
+            if int(c) != kf
+        }
+        if children:
+            candidates = [old_parent] if old_parent >= 0 else []
+            w_cache = {c: self.covisibility_weights(c) for c in children}
+            while children and candidates:
+                best = None
+                for c in children:
+                    w = w_cache[c]
+                    for cand in candidates:
+                        wt = int(w[cand])
+                        if wt > 0 and (best is None or wt > best[2]):
+                            best = (c, cand, wt)
+                if best is None:
+                    break
+                c, cand, _ = best
+                self.kf_parent[c] = cand
+                candidates.append(c)
+                children.remove(c)
+            for c in children:  # no covisible candidate: attach to grandparent
+                self.kf_parent[c] = old_parent
+
         uid = int(self.kf_uid[kf])
         if uid >= 0:
-            cov, _ = self.covisible_keyframes(kf, min_weight=1, max_n=1)
-            parent = int(cov[0]) if len(cov) else -1
+            parent = old_parent
+            if parent < 0:
+                cov, _ = self.covisible_keyframes(kf, min_weight=1, max_n=1)
+                parent = int(cov[0]) if len(cov) else -1
             if parent >= 0 and parent != kf and self.kf_valid[parent]:
                 t_cp = self.kf_pose[kf] @ np.linalg.inv(self.kf_pose[parent])
                 self.retired_kfs[uid] = (
@@ -249,6 +299,7 @@ class SlamMap:
             self.uid_slot.pop(uid, None)
             self.kf_uid[kf] = -1
         self.kf_valid[kf] = False
+        self.kf_parent[kf] = -1
         self.kf_matches[kf] = -1
 
     def resolve_anchor(self, t_cr: np.ndarray, uid: int):

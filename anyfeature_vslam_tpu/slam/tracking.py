@@ -25,7 +25,7 @@ from anyfeature_vslam_tpu.frontend.extractor import ExtractorConfig, extract_fea
 from anyfeature_vslam_tpu.ops import camera as cam_ops
 from anyfeature_vslam_tpu.ops import initializer, pose_opt
 from anyfeature_vslam_tpu.ops import se3 as se3_ops
-from . import frame_ops
+from . import fast_track, frame_ops
 from .map_state import SlamMap
 
 
@@ -190,9 +190,11 @@ class DevicePointBlock:
 
 
 def _pad_pow2(n, lo=256):
+    """Coarse 4x-step padding: fewer distinct compiled shapes as the
+    candidate set grows (each new shape = one full XLA compile)."""
     c = lo
     while c < n:
-        c *= 2
+        c *= 4
     return c
 
 
@@ -229,6 +231,10 @@ class Tracker:
         self.bounds_hi = np.array([float(b[1]), float(b[3])], np.float32)
         self.velocity = None          # T_cur_last
         self._pt_block = DevicePointBlock(slam_map)
+        # fused fast path: device-resident carry + local-map block (see
+        # slam/fast_track.py). Refreshed whenever the map revision changes.
+        self.use_fast_path = True
+        self._fast_state = None
         self.last: FrameData | None = None
         self.init_ref: FrameData | None = None
         self.ref_kf: int = -1
@@ -244,6 +250,14 @@ class Tracker:
         # trajectory: per frame (ts, T_cur_ref, ref_kf, lost)
         self.trajectory: list = []
         self.on_new_keyframe = None   # callback(kf_id) -> local mapping
+        # mapping-idle probe for the keyframe decision's c1b (reference
+        # LocalMapping::AcceptKeyFrames); System wires LocalMapper.is_idle
+        self.mapping_idle = lambda: True
+        # BA-interrupt hook (reference Tracking.cc:905-918 InterruptBA):
+        # when a keyframe is wanted but mapping is busy, land the running
+        # solve so the next frame finds mapping idle. System wires
+        # LocalMapper.fold_pending.
+        self.interrupt_mapping = lambda: None
         self.database = None          # KeyFrameDatabase (set once vocab ready)
         self.debug = False
         self.stats = dict(tracked_frames=0, lost_frames=0, resets=0, relocalizations=0)
@@ -265,11 +279,12 @@ class Tracker:
                     "precomputed features need the image path (pass it to "
                     "process_frame / track_monocular)"
                 )
-            feats = load_precomputed_features(image_path, cfg.capacity, cfg.desc_dim)
+            feats = DeviceFeats.from_numpy(
+                load_precomputed_features(image_path, cfg.capacity, cfg.desc_dim)
+            )
             feats["uv_und"] = np.asarray(
                 cam_ops.undistort_points(self.cam, feats.dev("xy"))
             ).astype(np.float32)
-            feats = DeviceFeats.from_numpy(feats)
         else:
             # features stay ON DEVICE; host mirrors are fetched lazily
             # (DeviceFeats) — descriptors only at keyframe creation
@@ -299,24 +314,28 @@ class Tracker:
             ur = feats["uv_und"][:, 0] - bf / d
         feats["u_right"] = np.where(d > 0, ur, -1.0).astype(np.float32)
 
-    def _attach_stereo(self, feats: dict, img_right: np.ndarray):
-        """Stereo: extract right-image features and row-match them against
-        the left keypoints; disparity -> depth (reference Frame stereo ctor,
-        src/Frame.cc:60-95; row search replaces ComputeStereoMatches)."""
-        right = _np(
-            extract_features(jnp.asarray(img_right), self.ext_cfg,
-                        img_right.shape[0], img_right.shape[1])
+    def _attach_stereo(self, feats: dict, img_left: np.ndarray, img_right: np.ndarray):
+        """Stereo: extract right-image features, row-match them against the
+        left keypoints, and refine disparity to sub-pixel with the SAD
+        sliding window + parabola fit (reference Frame stereo ctor,
+        src/Frame.cc:60-95, ComputeStereoMatches sub-pixel stage
+        :566-620) — matching and refinement fused into one dispatch."""
+        right = extract_features(
+            jnp.asarray(img_right, jnp.float32), self.ext_cfg,
+            img_right.shape[0], img_right.shape[1]
         )
         bf = float(self.cfg.bf)
         fx = float(self.cam.fx)
         # rectified input: match on raw pixel rows; disparity in (0, bf/minZ]
         # with minZ = baseline (ORB-SLAM2 convention), i.e. max_disp = fx
         res = _np(
-            frame_ops.match_stereo_rows(
+            frame_ops.match_stereo_rows_subpix(
+                jnp.asarray(img_left, jnp.float32),
+                jnp.asarray(img_right, jnp.float32),
                 feats.dev("desc_bits"), feats.dev("xy"),
                 feats.dev("size"), feats.dev("valid"),
-                jnp.asarray(right["desc_bits"]), jnp.asarray(right["xy"]),
-                jnp.asarray(right["size"]), jnp.asarray(right["valid"]),
+                right["desc_bits"], right["xy"],
+                right["size"], right["valid"],
                 self.cfg.match_th, 0.0, fx,
             )
         )
@@ -355,7 +374,7 @@ class Tracker:
         if depth is not None:
             self._attach_depth(feats, depth)
         elif img_right is not None:
-            self._attach_stereo(feats, img_right)
+            self._attach_stereo(feats, img, img_right)
 
         if self.state == TrackState.NOT_INITIALIZED:
             if mono:
@@ -402,6 +421,7 @@ class Tracker:
         self.last = None
         self.init_ref = None
         self.ref_kf = -1
+        self._fast_state = None
         self.stats["resets"] += 1
 
     # ---------------------------------------------------- initialization
@@ -597,16 +617,21 @@ class Tracker:
         cfg = self.cfg
         self._check_replaced_in_last_frame()
         if not self.only_tracking:
-            ok = False
-            if self.velocity is not None and frame.frame_id >= self.last_reloc_frame_id + 2:
-                ok = self._track_motion_model(frame)
-            if not ok:
-                ok = self._track_reference_kf(frame)
-            if not ok:
-                return False
-            ok = self._track_local_map(frame)
-            if not ok:
-                return False
+            fast = self._try_fast_track(frame)
+            if fast is not None:
+                if not fast:
+                    return False
+            else:
+                ok = False
+                if self.velocity is not None and frame.frame_id >= self.last_reloc_frame_id + 2:
+                    ok = self._track_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_kf(frame)
+                if not ok:
+                    return False
+                ok = self._track_local_map(frame)
+                if not ok:
+                    return False
         else:
             # Localization mode (reference Tracking.cc:210-296): mapping is
             # off; when mbVO the map has drifted out of view and tracking
@@ -862,6 +887,167 @@ class Tracker:
         self._dbg(f"local-map: {len(cand)} cands -> {n_in} inliers")
         return n_in >= cfg.min_local_inliers
 
+    # ----------------------------------------------------- fused fast path
+    def _try_fast_track(self, frame: FrameData):
+        """One-dispatch tracked frame (slam/fast_track.py). Returns True /
+        False (tracking outcome) or None when the fast path does not apply
+        and the staged host-orchestrated path should run instead."""
+        cfg = self.cfg
+        last = self.last
+        if (
+            not self.use_fast_path
+            or cfg.sensor != "monocular"
+            or cfg.detector == "precomputed"
+            or last is None or last.pose is None or last.matches is None
+            or not isinstance(last.feats, DeviceFeats)
+            or not isinstance(frame.feats, DeviceFeats)
+            # the post-init frame carries the 2x-capacity init extraction
+            or int(last.feats.dev("uv_und").shape[0]) != self.map.n_feat
+        ):
+            return None
+        m = self.map
+        fs = self._fast_state
+        if fs is None or fs["rev"] != m.rev:
+            fs = self._build_fast_state()
+            self._fast_state = fs
+            if fs is None:
+                return None
+        # the carry is only valid if it was produced from exactly the last
+        # frame (a slow-tracked or relocalized frame in between leaves it
+        # stale) — otherwise rebuild it from host truth
+        if fs.get("carry") is None or fs.get("carry_fid") != last.frame_id:
+            fs["carry"] = self._build_fast_carry()
+            fs["carry_fid"] = last.frame_id
+            if fs["carry"] is None:
+                return None
+        carry = fs["carry"]
+        use_motion = (
+            self.velocity is not None
+            and frame.frame_id >= self.last_reloc_frame_id + 2
+        )
+        pred = (
+            (self.velocity @ last.pose) if use_motion else last.pose
+        ).astype(np.float32)
+        feats = frame.feats
+        out = fast_track.fused_track_step(
+            feats.dev("uv_und"), feats.dev("desc_bits"), feats.dev("size"),
+            feats.dev("angle"), feats.dev("valid"), feats.dev("inv_sigma2"),
+            carry["uv"], carry["bits"], carry["size"], carry["angle"],
+            carry["match_pt"], carry["match_pos"],
+            *fs["ref"], *fs["block"],
+            jnp.asarray(pred), jnp.asarray(last.pose.astype(np.float32)),
+            jnp.asarray(bool(use_motion)),
+            jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
+            float(self.cam.fx), float(self.cam.fy),
+            float(self.cam.cx), float(self.cam.cy),
+            float(cfg.motion_radius), float(cfg.match_th),
+            cfg.min_motion_matches, float(cfg.refkf_ratio),
+            float(cfg.local_radius), float(cfg.local_ratio),
+            cfg.min_track_inliers,
+        )
+        pose_d, pt_d, n_in_d, vis_d, ok1_d, used_mm_d, pos_d = out
+        pose_np, pt_np, n_in, vis_np, ok1 = jax.device_get(
+            (pose_d, pt_d, n_in_d, vis_d, ok1_d)
+        )
+        if not bool(ok1):
+            # both branches failed: tracking lost (reference Track()
+            # :293-316). Invalidate the carry so a relocalized restart
+            # rebuilds it from host truth.
+            fs["carry"] = None
+            self._dbg("fast: stage-1 failed")
+            return False
+        n_in = int(n_in)
+        # device_get returns read-only buffer-backed arrays; downstream
+        # bookkeeping mutates matches in place, so copy
+        frame.pose = np.array(pose_np, np.float32)
+        frame.matches = np.array(pt_np, np.int32)
+        self.n_inliers = n_in
+        self._n_map_inliers = n_in
+        vis_ids = fs["blk_ids_np"][vis_np & fs["blk_valid_np"]]
+        m.pt_visible[vis_ids] += 1
+        found = frame.matches[frame.matches >= 0]
+        m.pt_found[found] += 1
+        # next frame's carry comes straight off this dispatch — no upload
+        fs["carry"] = dict(
+            uv=feats.dev("uv_und"), bits=feats.dev("desc_bits"),
+            size=feats.dev("size"), angle=feats.dev("angle"),
+            match_pt=pt_d, match_pos=pos_d,
+        )
+        fs["carry_fid"] = frame.frame_id
+        self._update_ref_kf_from_matches(frame.matches)
+        self._dbg(f"fast: {len(found)} matches -> {n_in} inliers")
+        return n_in >= cfg.min_local_inliers
+
+    def _build_fast_state(self):
+        """Device-resident local-map block + reference-KF snapshot, valid
+        until the next map mutation (map.rev bump)."""
+        m = self.map
+        if self.last is None or self.last.matches is None or self.ref_kf < 0:
+            return None
+        local_kfs, local_pts = self._local_map_ids(self.last)
+        if len(local_pts) == 0:
+            return None
+        cap = _pad_pow2(len(local_pts), lo=self.cfg.local_pt_bucket)
+        idx = np.zeros(cap, np.int64)
+        idx[: len(local_pts)] = local_pts
+        blk_valid = np.zeros(cap, bool)
+        blk_valid[: len(local_pts)] = m.pt_valid[local_pts]
+        block = tuple(
+            jax.device_put(a)
+            for a in (
+                idx.astype(np.int32), m.pt_pos[idx], m.pt_normal[idx],
+                m.pt_min_dist[idx], m.pt_max_dist[idx],
+                m.pt_ref_size[idx], m.pt_ref_dist[idx],
+                m.pt_desc_bits[idx], blk_valid,
+            )
+        )
+        kf = self.ref_kf
+        ref_match = m.kf_matches[kf].astype(np.int32)
+        ref_has = (ref_match >= 0) & m.kf_feat_valid[kf]
+        ref = tuple(
+            jax.device_put(a)
+            for a in (
+                m.kf_desc_bits[kf], m.kf_angle[kf], ref_has,
+                np.where(ref_has, ref_match, -1).astype(np.int32),
+                m.pt_pos[np.maximum(ref_match, 0)],
+            )
+        )
+        return dict(
+            rev=m.rev, ref_kf=kf, block=block, ref=ref,
+            blk_ids_np=idx, blk_valid_np=blk_valid, carry=None,
+        )
+
+    def _build_fast_carry(self):
+        """Carry for the motion-model branch, rebuilt from host truth after
+        a slow-tracked frame or a map mutation (~16 KB upload)."""
+        last = self.last
+        m = self.map
+        mp = last.matches
+        ok = (mp >= 0) & m.pt_valid[np.maximum(mp, 0)]
+        match_pt = np.where(ok, mp, -1).astype(np.int32)
+        return dict(
+            uv=last.feats.dev("uv_und"), bits=last.feats.dev("desc_bits"),
+            size=last.feats.dev("size"), angle=last.feats.dev("angle"),
+            match_pt=jnp.asarray(match_pt),
+            match_pos=jnp.asarray(m.pt_pos[np.maximum(mp, 0)]),
+        )
+
+    def _update_ref_kf_from_matches(self, matches):
+        """Per-frame reference-keyframe update (the ref_kf half of
+        UpdateLocalKeyFrames, reference Tracking.cc:1135-1141); the full
+        local-map block refresh happens only on map mutation."""
+        matched = matches[matches >= 0]
+        if len(matched) == 0:
+            return
+        m = self.map
+        kfs = m.keyframe_ids()
+        pt_mask = np.zeros(m.max_pt, bool)
+        pt_mask[matched] = True
+        m_all = m.kf_matches[kfs]
+        counts = ((m_all >= 0) & pt_mask[np.maximum(m_all, 0)]).sum(axis=1)
+        if counts.max(initial=0) > 0:
+            self.ref_kf = int(kfs[np.argmax(counts)])
+
     # ----------------------------------------------------- relocalization
     def _relocalization(self, frame: FrameData) -> bool:
         """Reference Relocalization (Tracking.cc:1146-1309): BoW candidates
@@ -1028,12 +1214,23 @@ class Tracker:
 
         frames_since = frame.frame_id - self.last_kf_frame_id
         c1a = frames_since >= cfg.max_frames
-        c1b = frames_since >= 0   # minFrames=0 and synchronous mapping is idle
+        # c1b: minFrames=0 passed AND local mapping idle (reference
+        # Tracking.cc:870-876 bLocalMappingIdle) — while the async local-BA
+        # of the previous keyframe still runs on device, mapping is busy
+        # and only c1a can force a keyframe
+        c1b = frames_since >= 0 and self.mapping_idle()
         c1c = (not mono) and (self.n_inliers < n_ref * 0.25 or need_close)
         c2 = ((self.n_inliers < n_ref * th_ref) or need_close) and (
             self.n_inliers > cfg.kf_min_inliers
         )
-        return (c1a or c1b or c1c) and c2
+        need = (c1a or c1b or c1c) and c2
+        if not need and c2 and not self.mapping_idle():
+            # reference InterruptBA (Tracking.cc:905-918): a keyframe is
+            # wanted but mapping is busy — abort/land the running local BA
+            # so the keyframe is inserted at the next frame (the reference's
+            # mono path also waits for the idle signal after the interrupt)
+            self.interrupt_mapping()
+        return need
 
     def _create_depth_points(self, frame: FrameData, kf: int):
         """Stereo/RGBD keyframes mint map points directly from sensor depth:

@@ -114,6 +114,8 @@ class System:
             size_tolerance=scale, sensor=sensor, th_depth=th_depth,
         )
         self.tracker.on_new_keyframe = self._on_new_keyframe
+        self.tracker.mapping_idle = self.local_mapper.is_idle
+        self.tracker.interrupt_mapping = self.local_mapper.fold_pending
         self.camera = camera
         self.fps = fps
         self.sensor = sensor
@@ -181,6 +183,14 @@ class System:
                 self.map, self.camera, self.database,
                 match_th=self.match_th, seed=self.seed, mesh=self.mesh,
             )
+            if self.async_mapping:
+                self.loop_closer.defer_ba_sink = self._register_deferred_fold
+
+    def _register_deferred_fold(self, fold):
+        """Park a deferred device-side solve (loop-closure GBA) in the local
+        mapper's pending slot; it lands before the next map mutation."""
+        self.local_mapper.fold_pending()
+        self.local_mapper._pending_fold = fold
 
     def _maybe_train_vocabulary(self):
         """Train a vocabulary from accumulated keyframe descriptors once

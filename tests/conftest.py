@@ -17,3 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache shared across the per-file subprocess batches
+# of tests/run_suite.py (and across re-runs): most tests' programs compile
+# once ever, which both speeds the suite up and shrinks the number of live
+# LLVM JIT compilations per process (the sporadic-segfault surface).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_compile_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
