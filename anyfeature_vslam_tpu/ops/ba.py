@@ -41,11 +41,13 @@ CG_RTOL2 = 1e-12  # relative (squared, M-norm) CG residual
 # Dense-Schur dispatch: when the (keyframe x point) block grid is small
 # enough, forming the reduced camera system EXPLICITLY and solving it with
 # one dense solve beats 25 sequential CG applications per LM step (each CG
-# step is a chain of scatter/gather segment ops, all launch-latency-bound).
-# Local BA (the per-keyframe hot path, <= ~32 KFs x ~8k points) always
-# qualifies; global BA on big maps falls back to the matrix-free CG path.
-_DENSE_MAX_KP = 262_144  # K*P block-grid cells (~75 MB packed blocks)
-_DENSE_MAX_K = 128       # dense reduced system <= 768 x 768
+# step is a chain of scatter/gather segment ops, all launch-latency-bound —
+# profiled at ~300 ms per local-BA solve on the real chip vs ~10s of ms
+# dense). The cap trades transient HBM for latency: K*P = 2M packs a
+# ~580 MB (K*P, 72) accumulation buffer, well within a single chip's HBM.
+# Global BA on big maps falls back to the matrix-free CG path.
+_DENSE_MAX_KP = 2_097_152  # K*P block-grid cells
+_DENSE_MAX_K = 128         # dense reduced system <= 768 x 768
 
 
 def _inv3x3(m):

@@ -44,6 +44,51 @@ def triangulate_dlt(p1, p2, uv1, uv2):
     return x[..., :3] / w[..., None]
 
 
+def triangulate_linear3(p1, p2, uv1, uv2):
+    """Inhomogeneous DLT: solve the 4x3 least-squares system A x = b with
+    w fixed to 1, via closed-form 3x3 normal equations.
+
+    Algebraically the same linear system as `triangulate_dlt` for finite
+    points; avoids the batched 4x4 eigendecomposition (iterative on TPU,
+    ~4x the cost of the whole rest of the triangulation program). Points
+    near infinity (w -> 0) come out with huge coordinates and are rejected
+    by the standard cheirality/reprojection gates, exactly like the
+    reference rejects them after its SVD (src/LocalMapping.cc:352-366).
+    """
+    p1 = jnp.broadcast_to(p1, uv1.shape[:-1] + (3, 4))
+    p2 = jnp.broadcast_to(p2, uv2.shape[:-1] + (3, 4))
+    rows = [
+        uv1[..., 0, None] * p1[..., 2, :] - p1[..., 0, :],
+        uv1[..., 1, None] * p1[..., 2, :] - p1[..., 1, :],
+        uv2[..., 0, None] * p2[..., 2, :] - p2[..., 0, :],
+        uv2[..., 1, None] * p2[..., 2, :] - p2[..., 1, :],
+    ]
+    a_full = jnp.stack(rows, axis=-2)          # (..., 4, 4)
+    a = a_full[..., :3]
+    b = -a_full[..., 3]
+    ata = jnp.swapaxes(a, -1, -2) @ a          # (..., 3, 3)
+    atb = jnp.einsum("...ij,...i->...j", a, b)
+    # closed-form 3x3 inverse via adjugate
+    m = ata
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c02 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c10 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c20 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    c21 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c10 + m[..., 0, 2] * c20)
+    det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    inv = jnp.stack([
+        jnp.stack([c00, c01, c02], -1),
+        jnp.stack([c10, c11, c12], -1),
+        jnp.stack([c20, c21, c22], -1),
+    ], -2) / det[..., None, None]
+    return jnp.einsum("...ij,...j->...i", inv, atb)
+
+
 def parallax_cos(pts, c1, c2):
     """Cosine of the parallax angle at each point between camera centers."""
     n1 = pts - c1

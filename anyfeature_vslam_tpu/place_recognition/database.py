@@ -152,12 +152,41 @@ class KeyFrameDatabase:
         return self._query(bow_q, exclude, 0.0, covis_groups)
 
     def _covis_groups(self, slam_map, top: int = 10):
+        """Top-covisible groups for every present keyframe, from ONE native
+        covisibility-matrix pass; cached on the map revision (the per-query
+        rebuild was the dominant loop-detection cost at ~30 keyframes)."""
+        cache = getattr(self, "_groups_cache", None)
+        rev = getattr(slam_map, "rev", None)
+        if cache is not None and rev is not None and cache[0] == rev:
+            return cache[1]
+        from anyfeature_vslam_tpu import native
+
         groups = {}
-        for kf in np.nonzero(self.present)[0]:
-            if not slam_map.kf_valid[kf]:
-                continue
-            cov, _ = slam_map.covisible_keyframes(int(kf), min_weight=15, max_n=top)
-            groups[int(kf)] = [int(c) for c in cov if c < self.max_kf]
+        w = None
+        if hasattr(slam_map, "kf_matches"):  # test fakes expose only the API
+            w = native.covisibility_matrix(
+                slam_map.kf_matches, slam_map.kf_valid, slam_map.max_pt
+            )
+        present = np.nonzero(self.present)[0]
+        if w is not None:
+            for kf in present:
+                kf = int(kf)
+                if kf >= w.shape[0] or not slam_map.kf_valid[kf]:
+                    continue
+                row = w[kf].copy()
+                row[kf] = 0
+                ids = np.nonzero(row >= 15)[0]
+                ids = ids[np.argsort(-row[ids], kind="stable")][:top]
+                groups[kf] = [int(c) for c in ids if c < self.max_kf]
+        else:
+            for kf in present:
+                if not slam_map.kf_valid[kf]:
+                    continue
+                cov, _ = slam_map.covisible_keyframes(
+                    int(kf), min_weight=15, max_n=top
+                )
+                groups[int(kf)] = [int(c) for c in cov if c < self.max_kf]
+        self._groups_cache = (rev, groups)
         return groups
 
     def min_score_vs_covisibles(self, kf: int, slam_map) -> float:

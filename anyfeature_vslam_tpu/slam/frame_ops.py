@@ -366,7 +366,15 @@ def fuse_points_into_targets(
     host loop was the dominant per-keyframe cost (VERDICT r2 weak #6).
 
     Returns (idx (T, P), valid (T, P)): per target, the matched keypoint
-    slot for each source point."""
+    slot for each source point. The target feature inputs may be tuples of
+    per-keyframe device arrays (the mapper's device-resident cache); they
+    are stacked INSIDE the program — an eager jnp.stack would be a
+    dispatch-per-op disaster on a remote backend."""
+    if isinstance(f_uv_t, (list, tuple)):
+        f_uv_t = jnp.stack(f_uv_t)
+        f_bits_t = jnp.stack(f_bits_t)
+        f_size_t = jnp.stack(f_size_t)
+        f_valid_t = jnp.stack(f_valid_t)
 
     def one(valid_t, t_cw, f_uv, f_bits, f_size, f_valid):
         uv, dist, viewcos, pred_size, visible = project_points(
@@ -424,7 +432,7 @@ SCALE_CONSISTENCY_FACTOR = 1.8   # ~1.5 * scaleFactor (reference ratioFactor)
 @jax.jit
 def triangulate_with_neighbors(
     bits1, uv1, valid1, inv_sigma2_1, size1,            # current KF (N, ...)
-    bits2_t, uv2_t, valid2_t, sigma2_t, size2_t,        # neighbors (T, N, ..)
+    bits2_t, uv2_t, valid2_t, size2_t,                  # neighbors (T, N, ..)
     inv_sigma2_2t,                                      # (T, N)
     t1, t2_t, k, target_ok,                             # poses + (T,) gate
     match_th, ratio,
@@ -446,8 +454,18 @@ def triangulate_with_neighbors(
 
     Returns (idx2 (T, N), pts (T, N, 3), good (T, N)): per neighbor, the
     matched slot in the neighbor, the triangulated world point for each
-    current-KF slot, and the full acceptance mask."""
+    current-KF slot, and the full acceptance mask. Neighbor feature inputs
+    may be tuples of per-keyframe device arrays (stacked in-program, see
+    fuse_points_into_targets); the epipolar sigma^2 is derived from the
+    sizes in-program."""
     from anyfeature_vslam_tpu.ops import triangulation
+
+    if isinstance(uv2_t, (list, tuple)):
+        bits2_t = jnp.stack(bits2_t)
+        uv2_t = jnp.stack(uv2_t)
+        size2_t = jnp.stack(size2_t)
+        inv_sigma2_2t = jnp.stack(inv_sigma2_2t)
+    sigma2_t = size2_t * size2_t
 
     k_inv = jnp.linalg.inv(k)
     c1 = -t1[:3, :3].T @ t1[:3, 3]
@@ -482,7 +500,7 @@ def triangulate_with_neighbors(
             f12, epipole2, match_th, ratio,
         )
         uvb = uv2[res["idx"]]
-        pts = triangulation.triangulate_dlt(p1, k @ t2[:3], uv1, uvb)
+        pts = triangulation.triangulate_linear3(p1, k @ t2[:3], uv1, uvb)
 
         # acceptance gates (reference LocalMapping.cc:315-471)
         c2 = -t2[:3, :3].T @ t2[:3, 3]

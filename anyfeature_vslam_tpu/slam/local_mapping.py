@@ -237,6 +237,76 @@ class LocalMapper:
         self.n_kf_processed = 0
         # deferred local-BA fold (async-mapping mode)
         self._pending_fold = None
+        # device-resident per-keyframe feature mirrors: keyframe feature
+        # snapshots are immutable after insertion, so the batched mapping
+        # programs stack these cached device rows instead of re-uploading
+        # multi-MB host gathers at every keyframe event. Keyed by slot,
+        # guarded by uid against slot recycling. Seeded for free from the
+        # tracker's DeviceFeats at keyframe creation.
+        self._dev_kf: dict[int, tuple] = {}
+
+    _DEV_FIELDS = ("uv", "bits", "size", "valid", "inv_sigma2", "angle")
+
+    def seed_kf_device(self, kf: int, feats):
+        """Adopt a new keyframe's already-on-device feature arrays."""
+        try:
+            ent = dict(
+                uv=feats.dev("uv_und"), bits=feats.dev("desc_bits"),
+                size=feats.dev("size"), valid=feats.dev("valid"),
+                inv_sigma2=feats.dev("inv_sigma2"), angle=feats.dev("angle"),
+            )
+        except KeyError:
+            return
+        self._dev_kf[int(kf)] = (int(self.map.kf_uid[kf]), ent)
+
+    def _kf_dev(self, kf: int) -> dict:
+        import jax
+
+        kf = int(kf)
+        uid = int(self.map.kf_uid[kf])
+        ent = self._dev_kf.get(kf)
+        if ent is None or ent[0] != uid:
+            m = self.map
+            ent = (uid, dict(
+                uv=jax.device_put(m.kf_uv[kf]),
+                bits=jax.device_put(m.kf_desc_bits[kf]),
+                size=jax.device_put(m.kf_size[kf]),
+                valid=jax.device_put(m.kf_feat_valid[kf]),
+                inv_sigma2=jax.device_put(m.kf_inv_sigma2[kf]),
+                angle=jax.device_put(m.kf_angle[kf]),
+            ))
+            self._dev_kf[kf] = ent
+        return ent[1]
+
+    def _kf_dev_stack(self, targets, t_cap):
+        """Tuples of the targets' cached device feature rows, zero-padded
+        to t_cap (padding rows carry valid=False). The actual stacking
+        happens INSIDE the consuming jitted program — every op issued
+        outside jit is an eager dispatch, which is pathologically slow on
+        a remote backend."""
+        import jax
+
+        rows = [self._kf_dev(t) for t in targets]
+        zeros = getattr(self, "_dev_zero", None)
+        if zeros is None:
+            m = self.map
+            zeros = {
+                "uv": jax.device_put(np.zeros((m.n_feat, 2), np.float32)),
+                "bits": jax.device_put(
+                    np.zeros((m.n_feat, m.desc_dim), m.desc_dtype)
+                ),
+                "size": jax.device_put(np.zeros(m.n_feat, np.float32)),
+                "valid": jax.device_put(np.zeros(m.n_feat, bool)),
+                "inv_sigma2": jax.device_put(np.zeros(m.n_feat, np.float32)),
+                "angle": jax.device_put(np.zeros(m.n_feat, np.float32)),
+            }
+            self._dev_zero = zeros
+        out = {}
+        for f in self._DEV_FIELDS:
+            out[f] = tuple(
+                [r[f] for r in rows] + [zeros[f]] * (t_cap - len(rows))
+            )
+        return out
 
     # ------------------------------------------------------------------
     def fold_pending(self):
@@ -332,16 +402,8 @@ class LocalMapper:
 
         poses = np.tile(np.eye(4, dtype=np.float32), (t_cap, 1, 1))
         poses[:n_t] = m.kf_pose[t_arr]
-
-        def padded(field, fill=0):
-            out = np.full((t_cap,) + field.shape[1:], fill, field.dtype)
-            out[:n_t] = field
-            return out
-
-        f_uv_t = padded(m.kf_uv[t_arr])
-        f_bits_t = padded(m.kf_desc_bits[t_arr])
-        f_size_t = padded(m.kf_size[t_arr], 1)
-        f_valid_t = padded(m.kf_feat_valid[t_arr])
+        dev = self._kf_dev_stack(targets, t_cap)
+        kf_dev = self._kf_dev(kf)
 
         # membership LUTs: which points each target already observes
         has_t = np.zeros((n_t, m.max_pt), bool)
@@ -364,8 +426,7 @@ class LocalMapper:
                 jnp.asarray(m.pt_ref_dist[idx_a]),
                 jnp.asarray(m.pt_desc_bits[idx_a]), jnp.asarray(valid_t),
                 jnp.asarray(poses),
-                jnp.asarray(f_uv_t), jnp.asarray(f_bits_t),
-                jnp.asarray(f_size_t), jnp.asarray(f_valid_t),
+                dev["uv"], dev["bits"], dev["size"], dev["valid"],
                 *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
             )
             res_a = (ia, va)
@@ -387,8 +448,7 @@ class LocalMapper:
             jnp.asarray(m.pt_ref_size[idx_b]), jnp.asarray(m.pt_ref_dist[idx_b]),
             jnp.asarray(m.pt_desc_bits[idx_b]), jnp.asarray(valid_b),
             jnp.asarray(m.kf_pose[kf]),
-            jnp.asarray(m.kf_uv[kf]), jnp.asarray(m.kf_desc_bits[kf]),
-            jnp.asarray(m.kf_size[kf]), jnp.asarray(m.kf_feat_valid[kf]),
+            kf_dev["uv"], kf_dev["bits"], kf_dev["size"], kf_dev["valid"],
             *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
         )
 
@@ -519,18 +579,17 @@ class LocalMapper:
         poses2[:n_t] = m.kf_pose[t_arr]
         target_ok = np.zeros(t_cap, bool)
         target_ok[:n_t] = True
+        dev = self._kf_dev_stack(keep, t_cap)
+        kf_dev = self._kf_dev(kf)
 
         idx2, pts, good = (
             np.asarray(x) for x in frame_ops.triangulate_with_neighbors(
-                jnp.asarray(m.kf_desc_bits[kf]), jnp.asarray(m.kf_uv[kf]),
-                jnp.asarray(unmatched1), jnp.asarray(m.kf_inv_sigma2[kf]),
-                jnp.asarray(m.kf_size[kf]),
-                jnp.asarray(padded(m.kf_desc_bits[t_arr])),
-                jnp.asarray(padded(m.kf_uv[t_arr])),
+                kf_dev["bits"], kf_dev["uv"],
+                jnp.asarray(unmatched1), kf_dev["inv_sigma2"],
+                kf_dev["size"],
+                dev["bits"], dev["uv"],
                 jnp.asarray(padded(unmatched2)),
-                jnp.asarray(padded(m.kf_size[t_arr] ** 2, 1)),
-                jnp.asarray(padded(m.kf_size[t_arr], 1)),
-                jnp.asarray(padded(m.kf_inv_sigma2[t_arr], 1)),
+                dev["size"], dev["inv_sigma2"],
                 jnp.asarray(t1), jnp.asarray(poses2), jnp.asarray(self.k),
                 jnp.asarray(target_ok),
                 self.match_th, TRI_RATIO,

@@ -250,6 +250,11 @@ class Tracker:
         # trajectory: per frame (ts, T_cur_ref, ref_kf, lost)
         self.trajectory: list = []
         self.on_new_keyframe = None   # callback(kf_id) -> local mapping
+        # optional hooks into the mapper's device-resident keyframe cache:
+        # seed it with the new keyframe's already-on-device features, and
+        # read cached rows for the fast path's reference-KF state
+        self.on_keyframe_feats = None
+        self.kf_dev = None
         # mapping-idle probe for the keyframe decision's c1b (reference
         # LocalMapping::AcceptKeyFrames); System wires LocalMapper.is_idle
         self.mapping_idle = lambda: True
@@ -258,6 +263,12 @@ class Tracker:
         # solve so the next frame finds mapping idle. System wires
         # LocalMapper.fold_pending.
         self.interrupt_mapping = lambda: None
+        # serializes structural map mutations against a threaded mapping
+        # worker (System.map_lock when threaded; a private no-contention
+        # lock otherwise)
+        import threading
+
+        self.map_lock = threading.RLock()
         self.database = None          # KeyFrameDatabase (set once vocab ready)
         self.debug = False
         self.stats = dict(tracked_frames=0, lost_frames=0, resets=0, relocalizations=0)
@@ -287,14 +298,20 @@ class Tracker:
             ).astype(np.float32)
         else:
             # features stay ON DEVICE; host mirrors are fetched lazily
-            # (DeviceFeats) — descriptors only at keyframe creation
-            img8 = img if img.dtype == np.uint8 else np.clip(
-                img, 0, 255
-            ).astype(np.uint8)
+            # (DeviceFeats) — descriptors only at keyframe creation.
+            # `img` may already be an on-device uint8 array (run_sequence
+            # prefetches the next frame's upload while the current frame
+            # computes).
+            if isinstance(img, jax.Array):
+                img_dev = img
+            else:
+                img8 = img if img.dtype == np.uint8 else np.clip(
+                    img, 0, 255
+                ).astype(np.uint8)
+                img_dev = jnp.asarray(img8)
             feats = DeviceFeats(
                 _extract_undistort(
-                    jnp.asarray(img8), self.cam, cfg,
-                    img.shape[0], img.shape[1],
+                    img_dev, self.cam, cfg, img.shape[0], img.shape[1],
                 )
             )
         return feats
@@ -907,8 +924,13 @@ class Tracker:
             return None
         m = self.map
         fs = self._fast_state
-        if fs is None or fs["rev"] != m.rev:
-            fs = self._build_fast_state()
+        if fs is None or (fs["rev"] != m.rev and self.mapping_idle()):
+            # rebuild the device-resident snapshot only when mapping is
+            # parked: mid-event map arrays are in flux (threaded mode), and
+            # the stale snapshot is exactly what the reference's tracking
+            # reads while its mapping thread works
+            with self.map_lock:
+                fs = self._build_fast_state()
             self._fast_state = fs
             if fs is None:
                 return None
@@ -1004,13 +1026,16 @@ class Tracker:
         kf = self.ref_kf
         ref_match = m.kf_matches[kf].astype(np.int32)
         ref_has = (ref_match >= 0) & m.kf_feat_valid[kf]
-        ref = tuple(
-            jax.device_put(a)
-            for a in (
-                m.kf_desc_bits[kf], m.kf_angle[kf], ref_has,
-                np.where(ref_has, ref_match, -1).astype(np.int32),
-                m.pt_pos[np.maximum(ref_match, 0)],
-            )
+        if self.kf_dev is not None:
+            ent = self.kf_dev(kf)
+            ref_bits, ref_angle = ent["bits"], ent["angle"]
+        else:
+            ref_bits = jax.device_put(m.kf_desc_bits[kf])
+            ref_angle = jax.device_put(m.kf_angle[kf])
+        ref = (
+            ref_bits, ref_angle, jax.device_put(ref_has),
+            jax.device_put(np.where(ref_has, ref_match, -1).astype(np.int32)),
+            jax.device_put(m.pt_pos[np.maximum(ref_match, 0)]),
         )
         return dict(
             rev=m.rev, ref_kf=kf, block=block, ref=ref,
@@ -1053,9 +1078,15 @@ class Tracker:
         """Reference Relocalization (Tracking.cc:1146-1309): BoW candidates
         -> per-candidate descriptor matching (>=15) -> RANSAC-EPnP ->
         pose optimization; success needs >=50 inliers after local-map
-        refinement."""
+        refinement. Runs under the map lock: it reads broad map state and
+        is rare enough that blocking on a concurrent mapping event is
+        fine."""
         if self.database is None:
             return False
+        with self.map_lock:
+            return self._relocalization_impl(frame)
+
+    def _relocalization_impl(self, frame: FrameData) -> bool:
         from anyfeature_vslam_tpu.ops import pnp as pnp_ops
 
         cands = self.database.detect_relocalization_candidates(
@@ -1262,15 +1293,19 @@ class Tracker:
         frame.matches[create] = ids
 
     def _create_new_keyframe(self, frame: FrameData):
-        kf = self.map.add_keyframe(
-            frame.pose, frame.ts, frame.frame_id, frame.feats, frame.matches.copy()
-        )
-        self.ref_kf = kf
-        self.last_kf_frame_id = frame.frame_id
-        if self.cfg.sensor != "monocular" and "depth" in frame.feats:
-            self._create_depth_points(frame, kf)
+        with self.map_lock:
+            kf = self.map.add_keyframe(
+                frame.pose, frame.ts, frame.frame_id, frame.feats,
+                frame.matches.copy()
+            )
+            if self.on_keyframe_feats and isinstance(frame.feats, DeviceFeats):
+                self.on_keyframe_feats(kf, frame.feats)
+            self.ref_kf = kf
+            self.last_kf_frame_id = frame.frame_id
+            if self.cfg.sensor != "monocular" and "depth" in frame.feats:
+                self._create_depth_points(frame, kf)
         if self.on_new_keyframe:
             self.on_new_keyframe(kf)
-        # mapping may have refined poses; keep frame/last in sync
+        # mapping may have refined poses (sync mode); keep frame in sync
         frame.pose = self.map.kf_pose[kf].copy()
         frame.matches = self.map.kf_matches[kf].copy()

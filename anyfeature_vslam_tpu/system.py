@@ -13,6 +13,8 @@ closing is added by the place-recognition module when enabled.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from dataclasses import dataclass
 
@@ -23,6 +25,75 @@ from .ops.camera import CameraParams
 from .slam.local_mapping import LocalMapper
 from .slam.map_state import SlamMap
 from .slam.tracking import Tracker, TrackingConfig, TrackState
+
+class _MappingWorker:
+    """Host-side mapping thread — the TPU-native counterpart of the
+    reference's LocalMapping + LoopClosing worker threads
+    (src/System.cc:112-117): keyframes are queued by the tracker and the
+    whole mapping event (triangulation, fusion, local BA, culling, place
+    recognition, loop closing) runs here, overlapping the tracking of
+    subsequent frames in wall-clock.
+
+    Synchronization model (reference: per-object mutexes + a map-update
+    mutex): structural map mutations are serialized on `lock` — the worker
+    holds it for the whole event, the tracker takes it only to mint a
+    keyframe. The tracker's per-frame compute path reads device-resident
+    SNAPSHOTS (fast-path carry/block), which are immutable by construction;
+    its few host-side reads of live map arrays (observation counts,
+    trajectory anchors, found/visible counters) are lock-free and tolerate
+    the same transient staleness the reference's fine-grained mutexes
+    allow."""
+
+    def __init__(self, event_fn, lock):
+        self._event = event_fn
+        self.lock = lock
+        self._q: queue.Queue = queue.Queue()
+        self._pending = 0
+        self._pending_lock = threading.Lock()
+        self._error = None
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="mapping"
+        )
+        self._thread.start()
+
+    def idle(self) -> bool:
+        return self._pending == 0
+
+    def submit(self, kf: int):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+        with self._pending_lock:
+            self._pending += 1
+        self._q.put(kf)
+
+    def flush(self):
+        """Block until every queued keyframe has been processed."""
+        while self._pending > 0 and self._thread.is_alive():
+            time.sleep(0.001)
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def stop(self):
+        self.flush()
+        self._q.put(None)
+        self._thread.join(timeout=5.0)
+
+    def _run(self):
+        while True:
+            kf = self._q.get()
+            if kf is None:
+                return
+            try:
+                with self.lock:
+                    self._event(kf)
+            except BaseException as e:  # surfaced on next submit/flush
+                self._error = e
+            finally:
+                with self._pending_lock:
+                    self._pending -= 1
+
 
 def _default_vocabulary(feature: str) -> str | None:
     """Shipped vocabulary for a feature family, if present (repo
@@ -57,6 +128,7 @@ class System:
         th_depth: float = 0.0,
         depth_map_factor: float = 1.0,
         async_mapping: bool = True,
+        threaded_mapping: bool = False,
     ):
         from anyfeature_vslam_tpu.frontend.extractor import (
             FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
@@ -116,6 +188,8 @@ class System:
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.tracker.mapping_idle = self.local_mapper.is_idle
         self.tracker.interrupt_mapping = self.local_mapper.fold_pending
+        self.tracker.on_keyframe_feats = self.local_mapper.seed_kf_device
+        self.tracker.kf_dev = self.local_mapper._kf_dev
         self.camera = camera
         self.fps = fps
         self.sensor = sensor
@@ -123,6 +197,20 @@ class System:
         # overlap the local-BA solve with subsequent tracking (the
         # reference's LocalMapping-thread concurrency, SURVEY 2.7)
         self.async_mapping = async_mapping
+        # full worker-thread mapping (the reference's actual architecture):
+        # the whole keyframe event overlaps tracking in wall-clock. Off by
+        # default so tests stay deterministic; the benchmark enables it.
+        self.threaded_mapping = threaded_mapping
+        self.map_lock = threading.RLock()
+        self._worker = None
+        if threaded_mapping:
+            self._worker = _MappingWorker(self._mapping_event, self.map_lock)
+            self.tracker.map_lock = self.map_lock
+            self.tracker.mapping_idle = self._worker.idle
+            # a running worker event cannot be aborted mid-flight; the
+            # keyframe simply lands when the worker goes idle (the
+            # reference's interrupted BA achieves the same one-frame delay)
+            self.tracker.interrupt_mapping = lambda: None
         self._reset_requested = False
         self._activate_localization_requested = False
         self._deactivate_localization_requested = False
@@ -212,13 +300,24 @@ class System:
         self._enable_place_recognition()
 
     def _on_new_keyframe(self, kf: int):
+        if self._worker is not None:
+            # threaded mode: queue the whole event to the mapping worker
+            # (reference LocalMapping::InsertKeyFrame, LocalMapping.cc:121)
+            self._worker.submit(kf)
+            return
+        self._mapping_event(kf)
+
+    def _mapping_event(self, kf: int):
         t0 = time.perf_counter()
-        # async mapping: the local-BA solve is dispatched here but NOT
-        # waited on — it executes on-device while tracking processes the
-        # following frames, and folds back at the next map mutation (the
-        # TPU-native form of the reference's LocalMapping-thread overlap,
-        # src/System.cc:112-127 + mbAbortBA)
-        self.local_mapper.process_keyframe(kf, defer_ba=self.async_mapping)
+        # async (non-threaded) mapping: the local-BA solve is dispatched
+        # here but NOT waited on — it executes on-device while tracking
+        # processes the following frames, and folds back at the next map
+        # mutation (the TPU-native form of the reference's
+        # LocalMapping-thread overlap, src/System.cc:112-127 + mbAbortBA).
+        # In threaded mode the whole event already overlaps tracking, so
+        # the BA folds inline.
+        defer = self.async_mapping and self._worker is None
+        self.local_mapper.process_keyframe(kf, defer_ba=defer)
         self.mapping_times.append(time.perf_counter() - t0)
         self._maybe_train_vocabulary()
         if self.loop_closer is not None:
@@ -265,6 +364,13 @@ class System:
         if self._reset_requested:
             self.reset()
             self._reset_requested = False
+        # bootstrap barrier (threaded mode): while the map is young enough
+        # that losing it triggers a full reset (reference Tracking.cc:355-363,
+        # <=5 KFs), let mapping keep up with tracking — an unpaced frame
+        # loop otherwise outruns the worker and collapses the early map.
+        # The reference gets the same effect from real-time camera pacing.
+        if self._worker is not None and self.map.n_keyframes() <= 5:
+            self._worker.flush()
         t0 = time.perf_counter()
         state = self.tracker.process_frame(
             img, ts, image_path=image_path, depth=depth, img_right=img_right
@@ -317,6 +423,8 @@ class System:
     def reset(self):
         """Clear map, database and tracking state (reference System::Reset ->
         Tracking::Reset, src/Tracking.cc:1311-1356)."""
+        if self._worker is not None:
+            self._worker.flush()
         self.local_mapper._pending_fold = None  # stale solve: drop, not fold
         self.tracker._reset()
         if self.database is not None:
@@ -332,11 +440,16 @@ class System:
         local-BA fold and blocks until device work is drained."""
         import jax
 
+        if self._worker is not None:
+            self._worker.stop()
+            self._worker = None
         self.local_mapper.fold_pending()
         (jax.device_put(0.0) + 0).block_until_ready()
 
     # ------------------------------------------------------------- output
     def save_outputs(self, out_dir: str, exp_id: str = "exp"):
+        if self._worker is not None:
+            self._worker.flush()
         self.local_mapper.fold_pending()
         os.makedirs(out_dir, exist_ok=True)
         kf_csv = os.path.join(out_dir, f"{exp_id}_KeyFrameTrajectory.csv")
@@ -388,6 +501,8 @@ class System:
 
     def save_checkpoint(self, path: str):
         """Persist the full map state (see SlamMap.save)."""
+        if self._worker is not None:
+            self._worker.flush()
         self.local_mapper.fold_pending()
         self.map.save(path)
 
@@ -419,6 +534,7 @@ def run_sequence(
     bf: float = 0.0,
     n_features: int | None = None,
     pace: bool = False,
+    threaded_mapping: bool = False,
 ):
     """End-to-end: load sequence, run SLAM, save trajectory. Returns System.
 
@@ -453,12 +569,28 @@ def run_sequence(
         seq.camera, feature=feature, fps=seq.fps,
         feature_settings=feature_settings, vocabulary_path=vocabulary_path,
         sensor=sensor, bf=bf, n_features=n_features,
+        threaded_mapping=threaded_mapping,
     )
     n = len(seq.image_paths) if max_frames is None else min(max_frames, len(seq.image_paths))
     loader = native.FrameLoader(
         seq.image_paths[:n], seq.camera.height, seq.camera.width
     )
     t_start = time.perf_counter()
+
+    def _prefetch(i):
+        """Start the host->device upload of frame i's image now; the
+        transfer overlaps the current frame's compute (mono live-extractor
+        path only — the tracker accepts on-device uint8 images)."""
+        import jax
+
+        img = loader.get(i)
+        img8 = img if img.dtype == np.uint8 else np.clip(
+            img, 0, 255
+        ).astype(np.uint8)
+        return jax.device_put(img8)
+
+    prefetch_ok = sensor == "monocular" and system.tracker.cfg.detector != "precomputed"
+    nxt = None
     for i in range(n):
         if pace and i > 0:
             # sleep until this frame's timestamp offset from the first
@@ -466,11 +598,14 @@ def run_sequence(
             lag = target - (time.perf_counter() - t_start)
             if lag > 0:
                 time.sleep(lag)
-        img = loader.get(i)
         if sensor == "rgbd":
+            img = loader.get(i)
             depth = dataset.load_depth(seq.depth_paths[i], seq.depth_factor)
             state = system.track_rgbd(img, depth, seq.timestamps[i])
         else:
+            img = nxt if (prefetch_ok and nxt is not None) else loader.get(i)
+            if prefetch_ok and i + 1 < n:
+                nxt = _prefetch(i + 1)
             state = system.track_monocular(
                 img, seq.timestamps[i], image_path=seq.image_paths[i]
             )

@@ -88,19 +88,32 @@ def bench_system():
     from anyfeature_vslam_tpu.system import System
 
     seq = dataset.load_sequence(_ensure_bench_sequence())
-    system = System(seq.camera, feature="orb32", fps=seq.fps, n_features=1000)
+    system = System(seq.camera, feature="orb32", fps=seq.fps, n_features=1000,
+                    threaded_mapping=True)
     n = min(N_BENCH_FRAMES, len(seq.image_paths))
     loader = native.FrameLoader(
         seq.image_paths[:n], seq.camera.height, seq.camera.width
     )
+    import jax
+
+    def _prefetch(i):
+        img = loader.get(i)
+        img8 = img if img.dtype == np.uint8 else np.clip(
+            img, 0, 255
+        ).astype(np.uint8)
+        return jax.device_put(img8)
+
     done = 0
+    nxt = None
     try:
         for i in range(n):
             if _left() < 15.0:
                 print(f"[bench] internal deadline at frame {i}",
                       file=sys.stderr, flush=True)
                 break
-            img = loader.get(i)
+            img = nxt if nxt is not None else _prefetch(i)
+            if i + 1 < n:
+                nxt = _prefetch(i + 1)
             system.track_monocular(img, seq.timestamps[i],
                                    image_path=seq.image_paths[i])
             done += 1
