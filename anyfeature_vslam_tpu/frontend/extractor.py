@@ -71,7 +71,10 @@ FEATURE_REGISTRY = {
     # same inlier/outlier separation point
     "surf64": ("hessian", "grad64", 8, 1.2, 100.0, 0.12),
     "kaze64": ("kaze", "grad64", 8, 1.1892, 1e-5, 0.1),
-    "anyfeat_nonbin": ("fast", "grad48", 8, 1.2, 20.0, 0.5),
+    # learned48: trained MLP descriptor over rotation-canonicalized
+    # patches (frontend/learned48.py) standing in for cv::VGG_48's learned
+    # weights; matchingTh from the training tool's held-out calibration
+    "anyfeat_nonbin": ("fast", "learned48", 8, 1.2, 20.0, 0.62),
     "r2d2_128": ("precomputed", "float128", 1, 2.0, 1.0, 0.38),
 }
 
@@ -81,6 +84,8 @@ def descriptor_dim(descriptor: str) -> int:
         return int(descriptor[3:])
     if descriptor.startswith("grad"):
         return int(descriptor[4:])
+    if descriptor.startswith("learned"):
+        return int(descriptor[7:])
     return int(descriptor.replace("float", ""))
 
 
@@ -192,6 +197,11 @@ def extract_features(image, cfg: ExtractorConfig, height: int, width: int):
             ).reshape(budgets[lvl], -1)
             ang = orientation.ic_angle_from_patches(flat)
             _, desc = brief.describe_from_flat(flat, ang, valid, n_bits=cfg.desc_dim)
+        elif cfg.descriptor == "learned48":
+            from . import learned48
+
+            ang = orientation.ic_angle(img_l, xy)
+            desc = learned48.describe_learned48(img_l, xy, ang, valid)
         else:
             ang = orientation.ic_angle(img_l, xy)
             desc = graddesc.describe_grad(img_l, xy, ang, valid, dim=cfg.desc_dim)

@@ -91,7 +91,10 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _detect_loop(self, kf: int):
         min_score = self.db.min_score_vs_covisibles(kf, self.map)
-        candidates = self.db.detect_loop_candidates(kf, self.map, min_score)
+        candidates = [
+            c for c in self.db.detect_loop_candidates(kf, self.map, min_score)
+            if self.map.kf_valid[c]
+        ]
         if not candidates:
             self.consistent_groups = []
             return []

@@ -83,6 +83,12 @@ class SlamMap:
         # MapPoint::GetReplaced, used by Tracking::CheckReplacedInLastFrame)
         self.pt_replaced = np.full(p, -1, np.int32)
 
+        # observer hook: called with the slot of every culled keyframe
+        # (System wires the keyframe database's erase — the reference does
+        # this from KeyFrame::SetBadFlag -> KeyFrameDatabase::erase; without
+        # it culled "ghost" keyframes keep winning loop/reloc retrieval
+        # with empty covisibility, starving the consistency chain)
+        self.on_kf_removed = None
         self._next_kf = 0
         self._next_pt = 0
         # big-change counter (reference Map::InformNewBigChange / index,
@@ -301,6 +307,8 @@ class SlamMap:
         self.kf_valid[kf] = False
         self.kf_parent[kf] = -1
         self.kf_matches[kf] = -1
+        if self.on_kf_removed is not None:
+            self.on_kf_removed(kf)
 
     def resolve_anchor(self, t_cr: np.ndarray, uid: int):
         """Walk retired-keyframe parents until a live anchor; returns the

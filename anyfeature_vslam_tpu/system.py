@@ -262,6 +262,9 @@ class System:
 
         self.database = KeyFrameDatabase(self.vocabulary, self.map.max_kf)
         self.tracker.database = self.database
+        # culled keyframes leave the retrieval database (reference
+        # KeyFrame::SetBadFlag -> KeyFrameDatabase::erase)
+        self.map.on_kf_removed = self.database.erase
         for kf in self.map.keyframe_ids():
             self.database.add(
                 int(kf), self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]

@@ -72,12 +72,64 @@ def main(argv=None):
     scene = PlaneScene(k, w, h, seed=seed,
                        tex=make_texture(n_blobs=15000, seed=seed))
 
-    n_circle = int(round(n / (1.0 + revisit)))
+    trajectory = args.get("trajectory", "circle")
     poses = []
-    for i in range(n):
-        ang = 2 * np.pi * (i % n_circle) / n_circle
-        poses.append(look_down_pose(2.5 + radius * np.cos(ang),
-                                    2.5 + radius * np.sin(ang), -2.0))
+    if trajectory == "two_circles":
+        # lap around circle A, transit to a disjoint circle B, lap B, then
+        # return to A's start: rotation-heavy motion accumulates monocular
+        # scale/rotation drift over ~2 laps of fresh territory, so the
+        # return to A cannot re-match the live map directly and loop
+        # closure must fire (the plain revisit trajectories reconnect via
+        # local matching and never need a loop)
+        na = int(round(0.40 * n))
+        nt1 = int(round(0.08 * n))
+        nb = int(round(0.36 * n))
+        nt2 = n - na - nt1 - nb
+        bx = 2.5 + 3.5 * radius
+        for i in range(na):
+            ang = 2 * np.pi * i / na
+            poses.append(look_down_pose(2.5 + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
+        for i in range(nt1):
+            f = (i + 1) / nt1
+            x = (2.5 + radius) * (1 - f) + (bx + radius) * f
+            poses.append(look_down_pose(x, 2.5, -2.0))
+        for i in range(nb):
+            ang = 2 * np.pi * i / nb
+            poses.append(look_down_pose(bx + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
+        for i in range(nt2):
+            f = (i + 1) / nt2
+            x = (bx + radius) * (1 - f) + (2.5 + radius) * f
+            poses.append(look_down_pose(x, 2.5, -2.0))
+    elif trajectory == "loop_detour":
+        # circle, then a long detour into fresh territory, then return to
+        # the circle start: drift accumulates on the detour while new
+        # keyframes are minted continuously, so re-entering the start
+        # region triggers genuine loop-closure detection (a plain revisit
+        # of a just-tracked circle re-matches the live map directly and
+        # never runs detection — no new keyframes are created)
+        n_circle = int(round(0.55 * n))
+        n_out = int(round(0.225 * n))
+        n_back = n - n_circle - n_out
+        reach = 2.6 * radius
+        for i in range(n_circle):
+            ang = 2 * np.pi * i / n_circle
+            poses.append(look_down_pose(2.5 + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
+        x0, y0 = 2.5 + radius, 2.5
+        for i in range(n_out):
+            f = (i + 1) / n_out
+            poses.append(look_down_pose(x0 + reach * f, y0 + 0.6 * radius * np.sin(2.5 * np.pi * f), -2.0))
+        for i in range(n_back):
+            f = 1.0 - (i + 1) / n_back
+            poses.append(look_down_pose(x0 + reach * f, y0 - 0.5 * radius * np.sin(2.5 * np.pi * f), -2.0))
+    else:
+        n_circle = int(round(n / (1.0 + revisit)))
+        for i in range(n):
+            ang = 2 * np.pi * (i % n_circle) / n_circle
+            poses.append(look_down_pose(2.5 + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
 
     os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
     rows = []
