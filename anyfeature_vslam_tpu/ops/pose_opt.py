@@ -29,10 +29,14 @@ CHI2_MONO = 5.991  # 2-dof 95% (reference src/Optimizer.cc:39-51)
 HUBER_DELTA = jnp.sqrt(CHI2_MONO)
 N_ROUNDS = 4
 N_ITERS = 10
-# early-exit step tolerance: an LM step with max|dx| below this cannot change
-# the pose at float32 resolution, so the remaining fixed-schedule iterations
-# are no-ops (see lm_step)
-DX_TOL = 1e-7
+# early-exit step tolerance: an LM step with max|dx| below this moves the
+# pose by <1e-5 rad / relative units — about 2 millidegrees, an order of
+# magnitude below the reprojection noise floor that drives the solve. The
+# sequential while_loop iterations are the latency bottleneck of the fused
+# per-frame program, so exiting at noise level instead of float32 epsilon
+# (1e-7) trims real per-frame milliseconds at no measurable ATE cost
+# (validated by the e2e ATE regressions).
+DX_TOL = 1e-5
 
 
 def _residuals_jac(t_cw, pts_w, uv, fx, fy, cx, cy):

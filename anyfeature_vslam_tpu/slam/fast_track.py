@@ -33,8 +33,54 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
+from anyfeature_vslam_tpu.frontend.extractor import extract_features
+from anyfeature_vslam_tpu.ops import camera as cam_ops
 from anyfeature_vslam_tpu.ops import pose_opt
 from . import frame_ops
+
+
+@partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def fused_extract_track(
+    img8, cam, cfg, height, width,
+    last_uv, last_bits, last_size, last_angle,
+    last_match_pt, last_match_pos,
+    ref_bits, ref_angle, ref_has, ref_match_pt, ref_match_pos,
+    blk_ids, blk_pos, blk_normal, blk_min_dist, blk_max_dist,
+    blk_ref_size, blk_ref_dist, blk_bits, blk_valid,
+    pred_pose, last_pose, use_motion,
+    bounds_lo, bounds_hi,
+    fx, fy, cx, cy,
+    motion_radius, match_th, min_motion_matches, refkf_ratio,
+    local_radius, local_ratio, min_track_inliers,
+):
+    """Extraction + the whole tracked-frame decision tree as ONE dispatch.
+
+    On a remote-TPU backend every program launch costs a ~25 ms fixed round
+    trip regardless of compute (measured; the device work itself is ~2 ms),
+    so folding the feature extractor into the tracking program halves the
+    per-frame launch budget. Returns (feats dict, track outputs) — the
+    feats arrays stay on device and back the frame's DeviceFeats."""
+    feats = extract_features(img8.astype(jnp.float32), cfg, height, width)
+    feats["uv_und"] = cam_ops.undistort_points(cam, feats["xy"]).astype(
+        jnp.float32
+    )
+    out = fused_track_step(
+        feats["uv_und"], feats["desc_bits"], feats["size"], feats["angle"],
+        feats["valid"], feats["inv_sigma2"],
+        last_uv, last_bits, last_size, last_angle,
+        last_match_pt, last_match_pos,
+        ref_bits, ref_angle, ref_has, ref_match_pt, ref_match_pos,
+        blk_ids, blk_pos, blk_normal, blk_min_dist, blk_max_dist,
+        blk_ref_size, blk_ref_dist, blk_bits, blk_valid,
+        pred_pose, last_pose, use_motion,
+        bounds_lo, bounds_hi,
+        fx, fy, cx, cy,
+        motion_radius, match_th, min_motion_matches, refkf_ratio,
+        local_radius, local_ratio, min_track_inliers,
+    )
+    return feats, out
 
 
 @jax.jit
@@ -60,59 +106,78 @@ def fused_track_step(
     used_motion, match_pos (N, 3))."""
     n = f_uv.shape[0]
 
-    # ---- motion-model branch (reference TrackWithMotionModel :729-790)
-    has_pt = last_match_pt >= 0
-    pc = last_match_pos @ pred_pose[:3, :3].T + pred_pose[:3, 3]
-    z = pc[:, 2]
-    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    u = fx * pc[:, 0] / zs + cx
-    v = fy * pc[:, 1] / zs + cy
-    uv_proj = jnp.stack([u, v], axis=-1)
-    proj_valid = (
-        has_pt & (z > 0)
-        & (u >= bounds_lo[0]) & (u < bounds_hi[0])
-        & (v >= bounds_lo[1]) & (v < bounds_hi[1])
-    )
-    uv_proj = jnp.where(jnp.isfinite(uv_proj), uv_proj, 0.0)
-    res_mm = frame_ops.match_frame_to_frame_2r(
-        last_uv, last_bits, last_size, has_pt, uv_proj, proj_valid,
-        f_uv, f_bits, f_size, f_valid, last_angle, f_angle,
-        motion_radius, match_th, min_motion_matches,
-    )
-    safe_idx = jnp.where(res_mm["valid"], res_mm["idx"], n)
-    mm_pt = jnp.full((n,), -1, jnp.int32).at[safe_idx].set(
-        last_match_pt, mode="drop"
-    )
-    mm_pos = jnp.zeros((n, 3), jnp.float32).at[safe_idx].set(
-        last_match_pos, mode="drop"
-    )
-    mask_a = (mm_pt >= 0) & f_valid
-    pose_a, inl_a, n_in_a = pose_opt.pose_optimize(
-        pred_pose, mm_pos, f_uv, f_inv_sigma2, mask_a, fx, fy, cx, cy
-    )
-    ok_a = use_motion & (res_mm["n_matches"] >= min_motion_matches) & (
-        n_in_a >= min_track_inliers
+    def motion_branch(_):
+        """Reference TrackWithMotionModel (:729-790)."""
+        has_pt = last_match_pt >= 0
+        pc = last_match_pos @ pred_pose[:3, :3].T + pred_pose[:3, 3]
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        u = fx * pc[:, 0] / zs + cx
+        v = fy * pc[:, 1] / zs + cy
+        uv_proj = jnp.stack([u, v], axis=-1)
+        proj_valid = (
+            has_pt & (z > 0)
+            & (u >= bounds_lo[0]) & (u < bounds_hi[0])
+            & (v >= bounds_lo[1]) & (v < bounds_hi[1])
+        )
+        uv_proj = jnp.where(jnp.isfinite(uv_proj), uv_proj, 0.0)
+        res_mm = frame_ops.match_frame_to_frame_2r(
+            last_uv, last_bits, last_size, has_pt, uv_proj, proj_valid,
+            f_uv, f_bits, f_size, f_valid, last_angle, f_angle,
+            motion_radius, match_th, min_motion_matches,
+        )
+        safe_idx = jnp.where(res_mm["valid"], res_mm["idx"], n)
+        mm_pt = jnp.full((n,), -1, jnp.int32).at[safe_idx].set(
+            last_match_pt, mode="drop"
+        )
+        mm_pos = jnp.zeros((n, 3), jnp.float32).at[safe_idx].set(
+            last_match_pos, mode="drop"
+        )
+        mask_a = (mm_pt >= 0) & f_valid
+        pose_a, inl_a, n_in_a = pose_opt.pose_optimize(
+            pred_pose, mm_pos, f_uv, f_inv_sigma2, mask_a, fx, fy, cx, cy
+        )
+        ok_a = (res_mm["n_matches"] >= min_motion_matches) & (
+            n_in_a >= min_track_inliers
+        )
+        return pose_a, jnp.where(inl_a, mm_pt, -1), mm_pos, ok_a
+
+    def no_motion(_):
+        return (
+            pred_pose, jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n, 3), jnp.float32), jnp.bool_(False),
+        )
+
+    pose_a, pt_a, pos_a, ok_a = jax.lax.cond(
+        use_motion, motion_branch, no_motion, None
     )
 
-    # ---- reference-KF fallback (reference TrackReferenceKeyFrame :619-661)
-    res_rk = frame_ops.match_descriptors_global(
-        f_bits, f_valid, f_angle, ref_bits, ref_has, ref_angle,
-        match_th, refkf_ratio,
-    )
-    rk_pt = jnp.where(res_rk["valid"], ref_match_pt[res_rk["idx"]], -1)
-    rk_pos = ref_match_pos[res_rk["idx"]]
-    mask_b = (rk_pt >= 0) & f_valid
-    pose_b, inl_b, n_in_b = pose_opt.pose_optimize(
-        last_pose, rk_pos, f_uv, f_inv_sigma2, mask_b, fx, fy, cx, cy
-    )
-    ok_b = (jnp.sum(res_rk["valid"]) >= 15) & (n_in_b >= min_track_inliers)
+    def rk_branch(_):
+        """Reference TrackReferenceKeyFrame (:619-661) — only traced as the
+        fallback arm of a cond: the common frame pays one guided matcher
+        and two pose LMs, not a second full descriptor matmul + LM."""
+        res_rk = frame_ops.match_descriptors_global(
+            f_bits, f_valid, f_angle, ref_bits, ref_has, ref_angle,
+            match_th, refkf_ratio,
+        )
+        rk_pt = jnp.where(res_rk["valid"], ref_match_pt[res_rk["idx"]], -1)
+        rk_pos = ref_match_pos[res_rk["idx"]]
+        mask_b = (rk_pt >= 0) & f_valid
+        pose_b, inl_b, n_in_b = pose_opt.pose_optimize(
+            last_pose, rk_pos, f_uv, f_inv_sigma2, mask_b, fx, fy, cx, cy
+        )
+        ok_b = (jnp.sum(res_rk["valid"]) >= 15) & (
+            n_in_b >= min_track_inliers
+        )
+        return pose_b, jnp.where(inl_b, rk_pt, -1), rk_pos, ok_b
 
+    def keep_motion(_):
+        return pose_a, pt_a, pos_a, ok_a
+
+    pose1, pt1, pos1, track_ok1 = jax.lax.cond(
+        ok_a, keep_motion, rk_branch, None
+    )
     use_mm = ok_a
-    track_ok1 = ok_a | ok_b
-    pose1 = jnp.where(use_mm, pose_a, pose_b)
-    pt1 = jnp.where(use_mm, jnp.where(inl_a, mm_pt, -1),
-                    jnp.where(inl_b, rk_pt, -1))
-    pos1 = jnp.where(use_mm, mm_pos, rk_pos)
 
     # ---- local-map round (reference TrackLocalMap :792-836)
     # exclude block points already matched this frame

@@ -386,7 +386,19 @@ class Tracker:
         self.frame_id += 1
         mono = self.cfg.sensor == "monocular"
         init_phase = self.state == TrackState.NOT_INITIALIZED and mono
-        feats = self._extract(img, init=init_phase, image_path=image_path)
+        # fast-path frames defer extraction INTO the fused per-frame
+        # program (fast_track.fused_extract_track) — one device launch
+        # instead of two, which matters when each launch costs a fixed
+        # remote round trip
+        defer_extract = (
+            self.use_fast_path and mono and not self.only_tracking
+            and self.state == TrackState.OK
+            and self.cfg.detector != "precomputed"
+            and depth is None and img_right is None
+        )
+        feats = None if defer_extract else self._extract(
+            img, init=init_phase, image_path=image_path
+        )
         frame = FrameData(fid, ts, feats)
         if depth is not None:
             self._attach_depth(feats, depth)
@@ -399,7 +411,7 @@ class Tracker:
             else:
                 self._stereo_initialization(frame)
         elif self.state == TrackState.OK:
-            ok = self._track(frame)
+            ok = self._track(frame, img)
             if not ok:
                 self.state = TrackState.LOST
                 self.stats["lost_frames"] += 1
@@ -630,15 +642,17 @@ class Tracker:
         ids = np.where(self.map.pt_valid[ids], ids, -1)
         m[sel] = ids
 
-    def _track(self, frame: FrameData) -> bool:
+    def _track(self, frame: FrameData, img=None) -> bool:
         cfg = self.cfg
         self._check_replaced_in_last_frame()
         if not self.only_tracking:
-            fast = self._try_fast_track(frame)
+            fast = self._try_fast_track(frame, img)
             if fast is not None:
                 if not fast:
                     return False
             else:
+                if frame.feats is None:  # deferred extraction, fast path N/A
+                    frame.feats = self._extract(img, init=False)
                 ok = False
                 if self.velocity is not None and frame.frame_id >= self.last_reloc_frame_id + 2:
                     ok = self._track_motion_model(frame)
@@ -905,10 +919,12 @@ class Tracker:
         return n_in >= cfg.min_local_inliers
 
     # ----------------------------------------------------- fused fast path
-    def _try_fast_track(self, frame: FrameData):
-        """One-dispatch tracked frame (slam/fast_track.py). Returns True /
-        False (tracking outcome) or None when the fast path does not apply
-        and the staged host-orchestrated path should run instead."""
+    def _try_fast_track(self, frame: FrameData, img=None):
+        """One-dispatch tracked frame (slam/fast_track.py; extraction is
+        folded into the same dispatch when frame.feats is still deferred).
+        Returns True / False (tracking outcome) or None when the fast path
+        does not apply and the staged host-orchestrated path should run
+        instead."""
         cfg = self.cfg
         last = self.last
         if (
@@ -917,7 +933,8 @@ class Tracker:
             or cfg.detector == "precomputed"
             or last is None or last.pose is None or last.matches is None
             or not isinstance(last.feats, DeviceFeats)
-            or not isinstance(frame.feats, DeviceFeats)
+            or not (isinstance(frame.feats, DeviceFeats)
+                    or (frame.feats is None and img is not None))
             # the post-init frame carries the 2x-capacity init extraction
             or int(last.feats.dev("uv_und").shape[0]) != self.map.n_feat
         ):
@@ -950,10 +967,7 @@ class Tracker:
         pred = (
             (self.velocity @ last.pose) if use_motion else last.pose
         ).astype(np.float32)
-        feats = frame.feats
-        out = fast_track.fused_track_step(
-            feats.dev("uv_und"), feats.dev("desc_bits"), feats.dev("size"),
-            feats.dev("angle"), feats.dev("valid"), feats.dev("inv_sigma2"),
+        common = (
             carry["uv"], carry["bits"], carry["size"], carry["angle"],
             carry["match_pt"], carry["match_pos"],
             *fs["ref"], *fs["block"],
@@ -967,6 +981,27 @@ class Tracker:
             float(cfg.local_radius), float(cfg.local_ratio),
             cfg.min_track_inliers,
         )
+        if frame.feats is None:
+            if isinstance(img, jax.Array):
+                img_dev = img
+            else:
+                img8 = img if img.dtype == np.uint8 else np.clip(
+                    img, 0, 255
+                ).astype(np.uint8)
+                img_dev = jnp.asarray(img8)
+            feats_d, out = fast_track.fused_extract_track(
+                img_dev, self.cam, self.ext_cfg,
+                int(img.shape[0]), int(img.shape[1]), *common,
+            )
+            frame.feats = DeviceFeats(feats_d)
+        else:
+            feats = frame.feats
+            out = fast_track.fused_track_step(
+                feats.dev("uv_und"), feats.dev("desc_bits"),
+                feats.dev("size"), feats.dev("angle"), feats.dev("valid"),
+                feats.dev("inv_sigma2"), *common,
+            )
+        feats = frame.feats
         pose_d, pt_d, n_in_d, vis_d, ok1_d, used_mm_d, pos_d = out
         pose_np, pt_np, n_in, vis_np, ok1 = jax.device_get(
             (pose_d, pt_d, n_in_d, vis_d, ok1_d)
