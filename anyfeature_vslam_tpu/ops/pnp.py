@@ -210,3 +210,12 @@ def pnp_ransac(pts, uv, sigma2, valid, fx, fy, cx, cy, seed, n_hyp: int = 300):
         inliers=inl_out,
         n_inliers=jnp.sum(inl_out.astype(jnp.int32)),
     )
+
+
+# Batched relocalization: one program solves RANSAC-EPnP for ALL candidate
+# keyframes at once (the reference interleaves PnPsolver::iterate(5) across
+# candidates round-robin, src/Tracking.cc:1146-1309 + PnPsolver.cc:165-258;
+# on TPU the whole interleaving collapses into a leading vmap axis).
+pnp_ransac_many = jax.jit(
+    jax.vmap(pnp_ransac, in_axes=(0, 0, 0, 0, None, None, None, None, None))
+)

@@ -41,11 +41,24 @@ class KeyFrameDatabase:
         self.kf_weights = np.zeros((max_kf, self._cap), np.float32)
         self.present = np.zeros(max_kf, bool)
 
-    def compute_bow(self, desc_bits, valid):
-        """Sparse bow: (unique word ids, L1-normalized tf-idf weights)."""
-        words = np.asarray(
-            vocab_mod.transform_words(self.vocab, jnp.asarray(desc_bits), jnp.asarray(valid))
+    def dispatch_bow(self, desc_bits, valid):
+        """Launch the vocabulary tree descent on device, returning the
+        word-id device array WITHOUT waiting (pair with bow_from_words; the
+        threaded loop stage folds it one keyframe later so no event blocks
+        on the tunnel round trip)."""
+        words = vocab_mod.transform_words(
+            self.vocab, jnp.asarray(desc_bits), jnp.asarray(valid)
         )
+        try:
+            words.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return words
+
+    def bow_from_words(self, words):
+        """Sparse bow (unique word ids, L1-normalized tf-idf weights) from a
+        fetched word-id array."""
+        words = np.asarray(words)
         ids, counts = np.unique(words[words >= 0], return_counts=True)
         w = counts.astype(np.float32) * self.vocab.idf[ids]
         norm = np.abs(w).sum()
@@ -53,7 +66,21 @@ class KeyFrameDatabase:
             w = w / norm
         return ids.astype(np.int32), w
 
-    def add(self, kf: int, desc_bits, valid):
+    def compute_bow(self, desc_bits, valid):
+        """Sparse bow: (unique word ids, L1-normalized tf-idf weights).
+
+        One device dispatch + readback; callers that need a keyframe's bow
+        more than once per event (loop detection THEN add — reference
+        LoopClosing computes mBowVec once in ProcessNewKeyFrame) should
+        compute it once and pass it through `bow=`."""
+        from anyfeature_vslam_tpu import perfcount
+
+        words_dev = self.dispatch_bow(desc_bits, valid)
+        with perfcount.timed_fetch():
+            words = np.asarray(words_dev)
+        return self.bow_from_words(words)
+
+    def add(self, kf: int, desc_bits=None, valid=None, bow=None):
         while kf >= self.max_kf:
             # track SlamMap keyframe-capacity growth
             self.kf_words = np.pad(
@@ -62,7 +89,7 @@ class KeyFrameDatabase:
             self.kf_weights = np.pad(self.kf_weights, ((0, self.max_kf), (0, 0)))
             self.present = np.pad(self.present, (0, self.max_kf))
             self.max_kf *= 2
-        ids, w = self.compute_bow(desc_bits, valid)
+        ids, w = bow if bow is not None else self.compute_bow(desc_bits, valid)
         while len(ids) > self._cap:
             self.kf_words = np.pad(
                 self.kf_words, ((0, 0), (0, self._cap)), constant_values=-1
@@ -118,14 +145,16 @@ class KeyFrameDatabase:
                 out.append(kf)
         return out
 
-    def detect_loop_candidates(self, kf: int, slam_map, min_score: float):
+    def detect_loop_candidates(self, kf: int, slam_map, min_score: float,
+                               bow_q=None):
         """Candidates for closing a loop at `kf` (excludes covisibles).
 
         The query keyframe need not be in the database yet (the reference
         also adds it only after detection, LoopClosing.cc:235); its bow is
         computed from the map's stored descriptors.
         """
-        bow_q = self._kf_bow(kf, slam_map)
+        if bow_q is None:
+            bow_q = self._kf_bow(kf, slam_map)
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
         # the map may have grown past the database arrays between adds;
         # out-of-range ids cannot be in the database anyway
@@ -189,14 +218,14 @@ class KeyFrameDatabase:
         self._groups_cache = (rev, groups)
         return groups
 
-    def min_score_vs_covisibles(self, kf: int, slam_map) -> float:
+    def min_score_vs_covisibles(self, kf: int, slam_map, bow_q=None) -> float:
         """Reference DetectLoop: minScore = min BoW score between the new KF
         and its covisibles (LoopClosing.cc:136-151)."""
         cov, _ = slam_map.covisible_keyframes(kf, min_weight=15)
         cov = [int(c) for c in cov if c < self.max_kf and self.present[c]]
         if len(cov) == 0:
             return 0.0
-        ids_q, w_q = self._kf_bow(kf, slam_map)
+        ids_q, w_q = bow_q if bow_q is not None else self._kf_bow(kf, slam_map)
         q_w = np.zeros(self.vocab.n_words, np.float32)
         q_w[ids_q] = w_q
         wi = np.maximum(self.kf_words[cov], 0)

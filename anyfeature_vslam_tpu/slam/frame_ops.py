@@ -569,3 +569,14 @@ def match_loop_projection(
     return matching.finish_match(
         best, idx, second, f_bits.shape[0], match_th, ratio=None, unique=True
     )
+
+
+# One dispatch matching the frame's descriptors against MANY candidate
+# keyframes (relocalization: the reference loops SearchByBoW per candidate,
+# src/Tracking.cc:1190-1210; here the candidate axis is a vmap axis).
+match_descriptors_to_many = jax.jit(
+    jax.vmap(
+        match_descriptors_global,
+        in_axes=(None, None, None, 0, 0, 0, None, None),
+    )
+)

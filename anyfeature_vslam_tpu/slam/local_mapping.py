@@ -47,6 +47,31 @@ def _pad_sched(n, schedule):
     return c
 
 
+def watch_ready(arrays):
+    """Background readiness probe: returns a threading.Event set once every
+    array's result has LANDED on the host. On the axon (tunneled) backend
+    neither Array.is_ready() nor block_until_ready() actually awaits the
+    device — the only true completion signal is a fetch — so the waiter
+    thread fetches each array (np.asarray), which doubles as pre-landing
+    the data: the eventual fold's own np.asarray is then a cached copy.
+    The fetch round trips burn a side thread, never the worker or the
+    tracker."""
+    import threading
+
+    ev = threading.Event()
+
+    def run():
+        try:
+            for a in arrays:
+                np.asarray(a)
+        except Exception:  # noqa: BLE001 — readiness only; fold re-raises
+            pass
+        ev.set()
+
+    threading.Thread(target=run, daemon=True, name="ready-watch").start()
+    return ev
+
+
 def _resolve_merge_chains(pairs):
     """Sequential-equivalent filtering of a batch of (keep, drop) merge
     pairs: the reference applies fusions one at a time and skips any pair
@@ -207,10 +232,17 @@ def run_bundle_adjustment(
                     slam_map.kf_matches[kf][obs_slot[i]] = -1
 
     if defer:
-        # expose the device results for readiness polling: mapping is
-        # "busy" (reference LocalMapping::AcceptKeyFrames == false) while
-        # the dispatched solve is still executing on device
-        fold.device_results = (new_poses, new_pts, outlier_dev)
+        # readiness probe: mapping is "busy" (reference
+        # LocalMapping::AcceptKeyFrames == false) while the dispatched
+        # solve is still executing on device
+        fold.ready = watch_ready((new_poses, new_pts, outlier_dev))
+        # stream results host-ward as soon as the solve finishes, so the
+        # eventual fold pays a local memcpy instead of a tunnel round trip
+        for a in (new_poses, new_pts, outlier_dev):
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         return fold
     fold()
     return None
@@ -237,6 +269,22 @@ class LocalMapper:
         self.n_kf_processed = 0
         # deferred local-BA fold (async-mapping mode)
         self._pending_fold = None
+        # deferred triangulation / fusion results (threaded mode): each
+        # keyframe event DISPATCHES its device programs with non-blocking
+        # host copies and FOLDS the previous event's (long-landed) results
+        # — the steady-state mapping path contains no blocking device
+        # round trip, so tunnel-latency variance cannot stall the worker
+        # (round 4's fetch-bound events serialized the whole system)
+        self._pending_tri = None
+        self._pending_fuse = None
+        self.debug = False
+        # optional callback invoked between event stages (System wires the
+        # tracker's fast-state refresh): the map is consistent at each
+        # stage boundary, so the tracker's device snapshot can follow the
+        # event's mutations at sub-event granularity instead of going a
+        # whole event stale (~hundreds of tracked frames per second ride
+        # that snapshot)
+        self.post_stage = None
         # device-resident per-keyframe feature mirrors: keyframe feature
         # snapshots are immutable after insertion, so the batched mapping
         # programs stack these cached device rows instead of re-uploading
@@ -326,14 +374,42 @@ class LocalMapper:
         f = self._pending_fold
         if f is None:
             return True
-        arrays = getattr(f, "device_results", ())
-        try:
-            return all(a.is_ready() for a in arrays)
-        except AttributeError:  # numpy results (already landed host-side)
-            return True
+        ev = getattr(f, "ready", None)
+        return ev is None or ev.is_set()
 
-    def process_keyframe(self, kf: int, defer_ba: bool = False):
-        self.fold_pending()
+    def process_keyframe(self, kf: int, defer_ba: bool = False,
+                         deferred_results: bool = False,
+                         overlap_results: bool = False):
+        """One keyframe event.
+
+        deferred_results=False (synchronous / test mode): dispatch + fold
+        each device program in place — the reference LocalMapping order,
+        deterministic.
+
+        deferred_results=True (threaded mode): DISPATCH triangulation,
+        fusion and the local BA with non-blocking host copies, and FOLD the
+        PREVIOUS event's results (whose copies landed long ago). The
+        steady-state event then contains no blocking device round trip at
+        all — on a tunneled backend this makes the mapping worker immune
+        to latency variance, at the cost of results landing one keyframe
+        late (the reference's queue between Tracking and LocalMapping has
+        the same one-event latency class)."""
+        import time
+
+        stages = getattr(self, "stage_times", None)
+        if stages is None:
+            stages = self.stage_times = {}
+
+        def mark(name, t0):
+            t1 = time.perf_counter()
+            stages.setdefault(name, []).append(t1 - t0)
+            if self.post_stage is not None:
+                self.post_stage()
+            return t1
+
+        t = time.perf_counter()
+        self.flush_results()
+        t = mark("fold", t)
         self.n_kf_processed += 1
         m = self.map.kf_matches[kf]
         self.map.update_point_stats(np.unique(m[m >= 0]))
@@ -347,16 +423,77 @@ class LocalMapper:
             if w[best] > 0:
                 self.map.kf_parent[kf] = best
         self._cull_recent_points()
+        t = mark("stats+cullpts", t)
         if self.map.n_keyframes() >= 2:
-            self._create_new_points(kf)
-            self._fuse_in_neighbors(kf)
-            self._local_ba(kf, defer=defer_ba)
+            if overlap_results:
+                # threaded mode: dispatch triangulation AND fusion before
+                # fetching either — the two programs pipeline on device and
+                # their outputs land in one batched round trip. Semantics
+                # drift vs the reference's strict order: fusion does not
+                # see THIS event's new points (they fuse next event).
+                rec_t = self._dispatch_new_points(kf)
+                rec_f = self._dispatch_fuse(kf)
+                if rec_t is not None:
+                    self._fold_new_points(rec_t)
+                t = mark("triangulate", t)
+                if rec_f is not None:
+                    self._fold_fuse(rec_f)
+                t = mark("fuse", t)
+            else:
+                rec = self._dispatch_new_points(kf)
+                if deferred_results:
+                    self._pending_tri = rec
+                elif rec is not None:
+                    self._fold_new_points(rec)
+                t = mark("triangulate", t)
+                rec = self._dispatch_fuse(kf)
+                if deferred_results:
+                    self._pending_fuse = rec
+                elif rec is not None:
+                    self._fold_fuse(rec)
+                t = mark("fuse", t)
+            self._local_ba(kf, defer=(defer_ba or deferred_results))
+            t = mark("ba_dispatch", t)
         self._cull_keyframes(kf)
+        mark("cullkfs", t)
+        if self.debug:
+            mm = self.map.kf_matches[kf]
+            print(
+                f"    [map] kf={kf} event: map {self.map.n_points()} pts, "
+                f"kf matches {int((mm >= 0).sum())}, recent {len(self.recent)}",
+                flush=True,
+            )
+
+    def flush_results(self):
+        """Fold every deferred result (previous event's triangulation and
+        fusion, then the pending BA) into the map."""
+        rec, self._pending_tri = self._pending_tri, None
+        if rec is not None:
+            self._fold_new_points(rec)
+        rec, self._pending_fuse = self._pending_fuse, None
+        if rec is not None:
+            self._fold_fuse(rec)
+        self.fold_pending()
+
+    def results_ready(self) -> bool:
+        """True when every deferred device result has finished computing —
+        the threaded keyframe-cadence gate (mapping is 'busy' while its
+        dispatched programs still occupy the chip, reference
+        LocalMapping::AcceptKeyFrames)."""
+        for rec in (self._pending_tri, self._pending_fuse):
+            if rec is not None and not rec["ready"].is_set():
+                return False
+        return self.is_idle()
 
     # ------------------------------------------------------------------
-    FUSE_T_SCHEDULE = (8, 32, 128)
+    # tighter ladders than round 3's (8,32,128)/(2,8,32): the padded
+    # slack was pure device time (a t_cap=32 triangulation program for 13
+    # real neighbors does 2.5x the matching work), and mapping device time
+    # directly stalls the pipelined tracker's little per-frame programs on
+    # the shared chip. Each step still compiles once (persistent cache).
+    FUSE_T_SCHEDULE = (8, 16, 32, 64, 128)
 
-    def _fuse_in_neighbors(self, kf: int):
+    def _dispatch_fuse(self, kf: int):
         """Reference SearchInNeighbors (LocalMapping.cc:475-555): project the
         new KF's points into first/second-order covisible neighbors and vice
         versa; add missing observations, merge duplicate points (keeping the
@@ -368,8 +505,10 @@ class LocalMapper:
         keyframes (frame_ops.fuse_points_into_targets /
         fuse_target_points_into_kf) instead of the reference's per-neighbor
         loop; merges collected across the whole batch land in one
-        merge_points call. Neighborhood = nn first-order + 5 second-order,
-        nn = 20 mono / 10 otherwise (reference LocalMapping.cc:477-479)."""
+        merge_points call at fold time. Neighborhood = nn first-order + 5
+        second-order, nn = 20 mono / 10 otherwise (reference
+        LocalMapping.cc:477-479). Returns a pending record for _fold_fuse,
+        or None."""
         m = self.map
         nn = 20 if self.sensor == "monocular" else 10
         first, _ = m.covisible_keyframes(kf, min_weight=15, max_n=nn)
@@ -382,7 +521,7 @@ class LocalMapper:
             t for t in dict.fromkeys(targets) if t != kf and m.kf_valid[t]
         ]
         if not targets:
-            return
+            return None
         t_cap = _pad_sched(len(targets), self.FUSE_T_SCHEDULE)
         targets = targets[:t_cap]
         t_arr = np.asarray(targets, np.int64)
@@ -451,18 +590,51 @@ class LocalMapper:
             kf_dev["uv"], kf_dev["bits"], kf_dev["size"], kf_dev["valid"],
             *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
         )
+        arrays = ((res_a[0], res_a[1], ib, vb) if res_a is not None
+                  else (ib, vb))
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        return dict(
+            kf=kf, kf_uid=int(m.kf_uid[kf]), targets=targets,
+            target_uids=[int(m.kf_uid[t]) for t in targets],
+            idx_a=idx_a, idx_b=idx_b, has_a=res_a is not None,
+            arrays=arrays, ready=watch_ready(arrays),
+        )
 
-        # ---- host merge bookkeeping (one transfer for both directions)
-        import jax
+    def _fold_fuse(self, rec):
+        """Apply a (possibly one-event-old) fusion result: add missing
+        observations, collect merge pairs, merge. Guards: target keyframes
+        re-validated by uid; proposed points re-validated (they can be
+        culled between dispatch and fold; freed slots are quarantined so
+        ids cannot have been recycled)."""
+        m = self.map
+        kf = rec["kf"]
+        if not m.kf_valid[kf] or int(m.kf_uid[kf]) != rec["kf_uid"]:
+            return
+        from anyfeature_vslam_tpu import perfcount
 
-        if res_a is not None:
-            ia, va, ib, vb = jax.device_get((res_a[0], res_a[1], ib, vb))
+        with perfcount.timed_fetch():
+            fetched = tuple(np.asarray(x) for x in rec["arrays"])
+        if rec["has_a"]:
+            ia, va, ib, vb = fetched
         else:
-            ib, vb = jax.device_get((ib, vb))
+            ib, vb = fetched
+        targets = rec["targets"]
+        n_t = len(targets)
+        tgt_ok = [
+            m.kf_valid[t] and int(m.kf_uid[t]) == u
+            for t, u in zip(targets, rec["target_uids"])
+        ]
+        idx_a, idx_b = rec["idx_a"], rec["idx_b"]
         counts = m.point_observation_counts()
         merge_pairs = []
 
         def fuse_one(dst_kf, pt, slot):
+            if not m.pt_valid[pt]:
+                return
             existing = int(m.kf_matches[dst_kf][slot])
             if existing >= 0:
                 if existing == pt or not m.pt_valid[existing]:
@@ -476,8 +648,10 @@ class LocalMapper:
             else:
                 m.kf_matches[dst_kf][slot] = pt
 
-        if res_a is not None:
+        if rec["has_a"]:
             for ti in range(n_t):
+                if not tgt_ok[ti]:
+                    continue
                 for s in np.nonzero(va[ti])[0]:
                     fuse_one(targets[ti], int(idx_a[s]), int(ia[ti, s]))
         # direction B matches were computed per target from one pre-fuse
@@ -486,6 +660,8 @@ class LocalMapper:
         # without the guard the point lands on two slots at once
         kf_gained = set()
         for ti in range(n_t):
+            if not tgt_ok[ti]:
+                continue
             for s in np.nonzero(vb[ti])[0]:
                 pt = int(idx_b[ti, s])
                 if pt in kf_gained:
@@ -527,9 +703,9 @@ class LocalMapper:
             self.recent.pop(pt, None)
 
     # ------------------------------------------------------------------
-    TRI_T_SCHEDULE = (2, 8, 32)
+    TRI_T_SCHEDULE = (2, 6, 12, 20, 32)
 
-    def _create_new_points(self, kf: int):
+    def _dispatch_new_points(self, kf: int):
         """Reference CreateNewMapPoints (LocalMapping.cc:231-473), batched:
         epipolar matching + DLT triangulation + acceptance gates against ALL
         nn covisible neighbors run as ONE program
@@ -537,7 +713,8 @@ class LocalMapper:
         (reference LocalMapping.cc:237-239). The reference's sequential
         claim of a keypoint by the first neighbor that successfully creates
         a point becomes: per current-KF slot, take the first (best-covisible)
-        neighbor whose match passed every gate."""
+        neighbor whose match passed every gate. Returns a pending record
+        for _fold_new_points, or None."""
         m = self.map
         nn = 20 if self.sensor == "monocular" else self.max_tri_kfs
         neighbors, _ = m.covisible_keyframes(kf, min_weight=15, max_n=nn)
@@ -545,7 +722,7 @@ class LocalMapper:
         if not neighbors:
             others = [int(k) for k in m.keyframe_ids() if k != kf]
             if not others:
-                return
+                return None
             neighbors = [others[-1]]
         t1 = m.kf_pose[kf]
         c1 = -t1[:3, :3].T @ t1[:3, 3]
@@ -560,7 +737,7 @@ class LocalMapper:
             if med > 0 and baseline / med >= MIN_BASELINE_DEPTH_RATIO:
                 keep.append(kf2)
         if not keep:
-            return
+            return None
         t_cap = _pad_sched(len(keep), self.TRI_T_SCHEDULE)
         keep = keep[:t_cap]
         n_t = len(keep)
@@ -582,31 +759,66 @@ class LocalMapper:
         dev = self._kf_dev_stack(keep, t_cap)
         kf_dev = self._kf_dev(kf)
 
-        idx2, pts, good = (
-            np.asarray(x) for x in frame_ops.triangulate_with_neighbors(
-                kf_dev["bits"], kf_dev["uv"],
-                jnp.asarray(unmatched1), kf_dev["inv_sigma2"],
-                kf_dev["size"],
-                dev["bits"], dev["uv"],
-                jnp.asarray(padded(unmatched2)),
-                dev["size"], dev["inv_sigma2"],
-                jnp.asarray(t1), jnp.asarray(poses2), jnp.asarray(self.k),
-                jnp.asarray(target_ok),
-                self.match_th, TRI_RATIO,
-            )
+        tri_out = frame_ops.triangulate_with_neighbors(
+            kf_dev["bits"], kf_dev["uv"],
+            jnp.asarray(unmatched1), kf_dev["inv_sigma2"],
+            kf_dev["size"],
+            dev["bits"], dev["uv"],
+            jnp.asarray(padded(unmatched2)),
+            dev["size"], dev["inv_sigma2"],
+            jnp.asarray(t1), jnp.asarray(poses2), jnp.asarray(self.k),
+            jnp.asarray(target_ok),
+            self.match_th, TRI_RATIO,
         )
+        for a in tri_out:
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        return dict(
+            kf=kf, kf_uid=int(m.kf_uid[kf]), targets=keep,
+            target_uids=[int(m.kf_uid[t]) for t in keep],
+            arrays=tuple(tri_out), ready=watch_ready(tuple(tri_out)),
+        )
+
+    def _fold_new_points(self, rec):
+        """Apply a (possibly one-event-old) triangulation result: create
+        the accepted points and their two observations. Guards: the source
+        keyframe and each neighbor re-validated by uid; slots claimed only
+        if STILL unmatched on both sides (fusion or a later event may have
+        filled them since dispatch)."""
+        m = self.map
+        kf = rec["kf"]
+        if not m.kf_valid[kf] or int(m.kf_uid[kf]) != rec["kf_uid"]:
+            return
+        from anyfeature_vslam_tpu import perfcount
+
+        with perfcount.timed_fetch():
+            idx2, pts, good = (np.asarray(x) for x in rec["arrays"])
+        col_ok = np.zeros(good.shape[0], bool)
+        for i, (t, u) in enumerate(zip(rec["targets"], rec["target_uids"])):
+            col_ok[i] = bool(m.kf_valid[t]) and int(m.kf_uid[t]) == u
+        good = good & col_ok[:, None] & (m.kf_matches[kf] < 0)[None, :]
         any_good = good.any(axis=0)
         slots1 = np.nonzero(any_good)[0]
         if len(slots1) == 0:
             return
         first_t = np.argmax(good[:, slots1], axis=0)  # covisibility order
         slots2 = idx2[first_t, slots1]
+        t_arr = np.asarray(rec["targets"], np.int64)
+        tgt = t_arr[first_t]
+        free2 = m.kf_matches[tgt, slots2] < 0
+        slots1, slots2, tgt, first_t = (
+            slots1[free2], slots2[free2], tgt[free2], first_t[free2]
+        )
+        if len(slots1) == 0:
+            return
         new_pts = pts[first_t, slots1].astype(np.float32)
         ids = m.add_points(
             new_pts, m.kf_desc_bits[kf][slots1], kf, m.kf_size[kf][slots1]
         )
         m.kf_matches[kf][slots1] = ids
-        m.kf_matches[t_arr[first_t], slots2] = ids
+        m.kf_matches[tgt, slots2] = ids
         for p in ids:
             self.recent[int(p)] = self.n_kf_processed
         m.update_point_stats(ids)

@@ -50,15 +50,24 @@ class LoopCloser:
         self._loop_points = None
         self.last_loop_kf = -1000
         self.n_loops_closed = 0
+        self.debug = False
+        # threaded mode: the BoW transform is dispatched at keyframe N's
+        # event and FOLDED (fetched + database-inserted + detection run) at
+        # keyframe N+1's event — one keyframe of loop-closing latency (the
+        # reference's LoopClosing queue has the same latency class,
+        # src/LoopClosing.cc:106-111) in exchange for a worker event with
+        # zero blocking device round trips
+        self.deferred_bow = False
+        self._pending_bow = None
         # when set (System wires it to the LocalMapper's pending-fold slot),
         # the post-loop global BA is dispatched asynchronously and folded
         # back before the next map mutation — the TPU-native counterpart of
         # the reference's detached GBA thread (src/LoopClosing.cc:589-593,
-        # RunGlobalBundleAdjustment :659-763). Keyframes/points created
-        # while the solve runs are untouched by the fold (they were built
-        # on essential-graph-corrected state already, so the residual
-        # adjustment is small — the reference propagates it via the
-        # spanning tree instead).
+        # RunGlobalBundleAdjustment :659-763). Keyframes created while the
+        # solve runs are corrected at fold time by walking the spanning
+        # tree from their corrected parents, and mid-solve points via
+        # their reference keyframe's old/new pose pair — the reference's
+        # exact scheme (src/LoopClosing.cc:683-744); see _propagate_gba.
         self.defer_ba_sink = None
 
     # ------------------------------------------------------------------
@@ -69,32 +78,84 @@ class LoopCloser:
         or mutations (used to land a deferred local-BA fold — the
         counterpart of the reference stopping LocalMapping before
         CorrectLoop, src/LoopClosing.cc:424-445)."""
+        if self.deferred_bow:
+            closed = False
+            prev, self._pending_bow = self._pending_bow, None
+            if prev is not None:
+                pkf, puid, words = prev
+                if (
+                    self.map.kf_valid[pkf]
+                    and int(self.map.kf_uid[pkf]) == puid
+                ):
+                    bow = self.db.bow_from_words(words)
+                    closed = self._process_with_bow(pkf, bow, pre_mutate)
+            self._pending_bow = (
+                kf, int(self.map.kf_uid[kf]),
+                self.db.dispatch_bow(
+                    self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
+                ),
+            )
+            return closed
+        # synchronous mode: the keyframe's bow is computed ONCE per event
+        # and shared by detection and the database insert (each compute is
+        # a device dispatch + readback; round 3 paid it twice per keyframe)
+        bow = self.db.compute_bow(
+            self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
+        )
+        return self._process_with_bow(kf, bow, pre_mutate)
+
+    def flush_bow(self):
+        """Land a deferred BoW (database insert only — no detection) so
+        shutdown/reset leaves the retrieval database complete."""
+        prev, self._pending_bow = self._pending_bow, None
+        if prev is not None:
+            pkf, puid, words = prev
+            if self.map.kf_valid[pkf] and int(self.map.kf_uid[pkf]) == puid:
+                self.db.add(pkf, bow=self.db.bow_from_words(words))
+
+    def _process_with_bow(self, kf: int, bow, pre_mutate=None) -> bool:
         closed = False
+        uid = int(self.map.kf_uid[kf])
         if (
             self.map.n_keyframes() > 10
-            and kf - self.last_loop_kf > 10  # reference LoopClosing.cc:128
+            # >=10 keyframes since the last closure (reference
+            # LoopClosing.cc:128) — by stable uid, NOT slot (slots recycle)
+            and uid - self.last_loop_kf > 10
         ):
-            candidates = self._detect_loop(kf)
+            candidates = self._detect_loop(kf, bow)
+            if self.debug:
+                print(f"    [loop] kf={kf} uid={int(self.map.kf_uid[kf])} "
+                      f"candidates={candidates} groups="
+                      f"{[(sorted(g)[:4], c) for g, c in self.consistent_groups]}",
+                      flush=True)
             if candidates and pre_mutate is not None:
                 pre_mutate()
             for cand in candidates:
                 ok, r, t, s = self._compute_sim3(kf, cand)
+                if self.debug:
+                    print(f"    [loop] sim3 kf={kf} cand={cand} ok={ok}",
+                          flush=True)
                 if ok:
                     self._correct_loop(kf, cand, r, t, s)
-                    self.last_loop_kf = kf
+                    self.last_loop_kf = uid
                     self.n_loops_closed += 1
                     closed = True
                     break
-        self.db.add(kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf])
+        self.db.add(kf, bow=bow)
         return closed
 
     # ------------------------------------------------------------------
-    def _detect_loop(self, kf: int):
-        min_score = self.db.min_score_vs_covisibles(kf, self.map)
+    def _detect_loop(self, kf: int, bow=None):
+        min_score = self.db.min_score_vs_covisibles(kf, self.map, bow_q=bow)
         candidates = [
-            c for c in self.db.detect_loop_candidates(kf, self.map, min_score)
+            c for c in self.db.detect_loop_candidates(
+                kf, self.map, min_score, bow_q=bow
+            )
             if self.map.kf_valid[c]
         ]
+        if self.debug:
+            print(f"    [loop] db raw candidates for kf={kf}: {candidates} "
+                  f"(min_score={min_score:.4f})", flush=True)
         if not candidates:
             self.consistent_groups = []
             return []
@@ -134,6 +195,9 @@ class LoopCloser:
         }
         sl1 = np.nonzero(res["valid"])[0]
         if len(sl1) < MIN_BOW_MATCHES:
+            if self.debug:
+                print(f"    [loop] sim3 gate1: {len(sl1)} desc matches < "
+                      f"{MIN_BOW_MATCHES}", flush=True)
             return False, None, None, None
         sl2 = res["idx"][sl1]
         pt1 = m.kf_matches[kf][sl1]
@@ -162,6 +226,9 @@ class LoopCloser:
             ).items()
         }
         if int(out["n_inliers"]) < MIN_SIM3_INLIERS:
+            if self.debug:
+                print(f"    [loop] sim3 gate2: RANSAC {int(out['n_inliers'])} "
+                      f"inliers < {MIN_SIM3_INLIERS}", flush=True)
             return False, None, None, None
 
         # mutual SearchBySim3 round: use the RANSAC Sim3 to project each
@@ -202,6 +269,9 @@ class LoopCloser:
             ).items()
         }
         if int(ref["n_inliers"]) < MIN_SIM3_INLIERS:
+            if self.debug:
+                print(f"    [loop] sim3 gate3: LM {int(ref['n_inliers'])} "
+                      f"inliers < {MIN_SIM3_INLIERS}", flush=True)
             return False, None, None, None
 
         # strictest gate (reference LoopClosing.cc:365-401): project the
@@ -229,6 +299,9 @@ class LoopCloser:
         for s_, p_ in zip(slots_gate.tolist(), pts_gate.tolist()):
             matched.setdefault(s_, p_)
         if len(matched) < MIN_TOTAL_MATCHES:
+            if self.debug:
+                print(f"    [loop] sim3 gate4: {len(matched)} total matches "
+                      f"< {MIN_TOTAL_MATCHES}", flush=True)
             return False, None, None, None
 
         # matched loop point pairs (fused AFTER pose correction, reference
@@ -456,18 +529,71 @@ class LoopCloser:
             mesh=self.mesh, defer=defer,
         )
         if defer and fold is not None:
+            # snapshot solve membership by IDENTITY: the fold must later
+            # tell keyframes/points created DURING the solve apart from
+            # solve members (reference buffers TcwGBA/PosGBA and walks the
+            # spanning tree for the rest, src/LoopClosing.cc:683-744)
+            uid_in_solve = {int(m.kf_uid[k]) for k in kf_ids}
+            pt_in_solve = np.zeros(m.max_pt, bool)
+            pt_in_solve[pt_ids] = True
+
             def gba_fold(f=fold, m=m):
+                pre_poses = m.kf_pose.copy()
                 f()
+                self._propagate_gba(uid_in_solve, pt_in_solve, pre_poses)
                 m.update_point_stats()
                 # loop closure + GBA = a "big change" (reference
                 # InformNewBigChange, surfaced through System::MapChanged)
                 m.inform_big_change()
 
-            gba_fold.device_results = fold.device_results
+            gba_fold.ready = fold.ready
             self.defer_ba_sink(gba_fold)
         else:
             self.map.update_point_stats()
             self.map.inform_big_change()
+
+    def _propagate_gba(self, uid_in_solve: set, pt_in_solve, pre_poses):
+        """Correct keyframes/points created while the deferred global BA
+        executed (reference RunGlobalBundleAdjustment propagation,
+        src/LoopClosing.cc:683-744):
+
+          - keyframes, in creation (uid) order, walk the spanning tree:
+            Tcw_child_new = (Tcw_child_old Tcw_parent_old^-1) Tcw_parent_new
+            — each child's relative pose to its (already corrected) parent
+            is preserved;
+          - points not in the solve move with their reference keyframe:
+            p' = T_ref_new^-1 (T_ref_old (p)).
+
+        pre_poses: every keyframe's pose immediately BEFORE the fold wrote
+        the GBA results (the 'old' side of both formulas)."""
+        m = self.map
+        new_kfs = [
+            int(s) for s in m.keyframe_ids()
+            if int(m.kf_uid[s]) not in uid_in_solve
+        ]
+        for s in sorted(new_kfs, key=lambda s: int(m.kf_uid[s])):
+            p = int(m.kf_parent[s])
+            if p < 0 or not m.kf_valid[p] or p == s:
+                continue
+            t_rel = pre_poses[s] @ np.linalg.inv(pre_poses[p])
+            m.kf_pose[s] = (t_rel @ m.kf_pose[p]).astype(np.float32)
+        # mid-solve points: valid now, absent from the solve
+        is_new = m.pt_valid.copy()
+        k = min(len(is_new), len(pt_in_solve))
+        is_new[:k] &= ~pt_in_solve[:k]
+        ids = np.nonzero(is_new)[0]
+        if len(ids) == 0:
+            return
+        refs = m.pt_ref_kf[ids]
+        ok = (refs >= 0) & m.kf_valid[np.maximum(refs, 0)]
+        ids, refs = ids[ok], refs[ok]
+        for r in np.unique(refs):
+            sel = ids[refs == r]
+            t_old, t_new = pre_poses[r], m.kf_pose[r]
+            x_cam = m.pt_pos[sel] @ t_old[:3, :3].T + t_old[:3, 3]
+            m.pt_pos[sel] = (
+                (x_cam - t_new[:3, 3]) @ t_new[:3, :3]
+            ).astype(np.float32)
 
     def _search_and_fuse(self, corrected: dict):
         """Project every loop-side map point into each corrected keyframe

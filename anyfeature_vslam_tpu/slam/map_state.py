@@ -82,6 +82,12 @@ class SlamMap:
         # fusion forwarding: dropped point -> surviving point (reference
         # MapPoint::GetReplaced, used by Tracking::CheckReplacedInLastFrame)
         self.pt_replaced = np.full(p, -1, np.int32)
+        # rev at which a slot was last freed: freed slots are QUARANTINED
+        # for a window of revisions before reuse, so device-resident
+        # carries/blocks that still reference the old id cannot silently
+        # re-bind to an unrelated new point (the reference's pointer
+        # identities can never collide; recycled SoA slot ids can)
+        self.pt_freed_rev = np.full(p, -(10 ** 9), np.int64)
 
         # observer hook: called with the slot of every culled keyframe
         # (System wires the keyframe database's erase — the reference does
@@ -216,7 +222,8 @@ class SlamMap:
             for name in ("pt_min_dist", "pt_max_dist", "pt_visible", "pt_found"):
                 setattr(self, name, np.pad(getattr(self, name), (0, grow)))
             for name, fill in (("pt_ref_kf", -1), ("pt_first_kf", -1),
-                               ("pt_replaced", -1)):
+                               ("pt_replaced", -1),
+                               ("pt_freed_rev", -(10 ** 9))):
                 setattr(self, name, np.pad(
                     getattr(self, name), (0, grow), constant_values=fill
                 ))
@@ -327,14 +334,25 @@ class SlamMap:
     def n_points(self) -> int:
         return int(self.pt_valid.sum())
 
+    # quarantine window in revisions before a freed slot may be reused
+    # (a mapping event bumps rev ~8-10 times; in-flight device carries
+    # reference ids at most ~2 events old)
+    FREED_QUARANTINE_REVS = 64
+
     def add_points(self, positions, desc_bits, ref_kf, ref_sizes, first_kf=None):
         """Bulk-add points; returns assigned ids (int32 array)."""
         self.rev += 1
         m = len(positions)
-        free = np.nonzero(~self.pt_valid)[0][:m]
+
+        def eligible():
+            return ~self.pt_valid & (
+                self.rev - self.pt_freed_rev > self.FREED_QUARANTINE_REVS
+            )
+
+        free = np.nonzero(eligible())[0][:m]
         if len(free) < m:
-            self._grow_points(m)
-            free = np.nonzero(~self.pt_valid)[0][:m]
+            self._grow_points(m + int((~eligible()).sum()))
+            free = np.nonzero(eligible())[0][:m]
         ids = free.astype(np.int32)
         self.pt_valid[ids] = True
         self.pt_replaced[ids] = -1
@@ -355,6 +373,7 @@ class SlamMap:
         if len(ids) == 0:
             return
         self.pt_valid[ids] = False
+        self.pt_freed_rev[ids] = self.rev
         # erase observations (vectorized over the whole match table)
         drop = np.zeros(self.max_pt, bool)
         drop[ids] = True
@@ -393,6 +412,7 @@ class SlamMap:
         self.pt_found[keep_arr] += self.pt_found[drop_arr]
         self.pt_visible[keep_arr] += self.pt_visible[drop_arr]
         self.pt_valid[drop_arr] = False
+        self.pt_freed_rev[drop_arr] = self.rev
         self.pt_replaced[drop_arr] = keep_arr
 
     # ----------------------------------------------------------- structure

@@ -160,7 +160,10 @@ class FrameData:
 def _np(d):
     """Fetch a whole device dict in ONE transfer: per-leaf np.asarray pays a
     round-trip each, which dominates on a remote-TPU (tunnel) backend."""
-    return dict(zip(d.keys(), jax.device_get(list(d.values()))))
+    from anyfeature_vslam_tpu import perfcount
+
+    with perfcount.timed_fetch():
+        return dict(zip(d.keys(), jax.device_get(list(d.values()))))
 
 
 class DevicePointBlock:
@@ -1124,48 +1127,78 @@ class Tracker:
     def _relocalization_impl(self, frame: FrameData) -> bool:
         from anyfeature_vslam_tpu.ops import pnp as pnp_ops
 
-        cands = self.database.detect_relocalization_candidates(
-            frame.feats["desc_bits"], frame.feats["valid"], self.map
-        )
-        for kf in cands:
-            kf = int(kf)
-            if not self.map.kf_valid[kf]:
-                continue
-            kf_has_pt = self.map.kf_matches[kf] >= 0
-            res = _np(
-                frame_ops.match_descriptors_global(
-                    frame.feats.dev("desc_bits"), frame.feats.dev("valid"),
-                    frame.feats.dev("angle"),
-                    jnp.asarray(self.map.kf_desc_bits[kf]),
-                    jnp.asarray(kf_has_pt & self.map.kf_feat_valid[kf]),
-                    jnp.asarray(self.map.kf_angle[kf]),
-                    self.cfg.match_th, 0.75,
-                )
+        m = self.map
+        cands = [
+            int(k) for k in self.database.detect_relocalization_candidates(
+                frame.feats["desc_bits"], frame.feats["valid"], m
             )
-            slots = np.nonzero(res["valid"])[0]
-            if len(slots) < 15:
+            if m.kf_valid[int(k)]
+        ]
+        if not cands:
+            return False
+        # ---- ONE matching dispatch over all candidates, then ONE batched
+        # RANSAC-EPnP dispatch (the TPU form of the reference round-robin
+        # PnPsolver::iterate(5) across candidates, Tracking.cc:1146-1309).
+        # Fixed candidate capacity: one compiled shape for the whole reloc
+        # path (a fresh shape mid-run costs a multi-second XLA compile).
+        c_cap = 8
+        cands = cands[:c_cap]
+        bits = np.zeros((c_cap, m.n_feat, m.desc_dim), m.desc_dtype)
+        has = np.zeros((c_cap, m.n_feat), bool)
+        ang = np.zeros((c_cap, m.n_feat), np.float32)
+        for i, kf in enumerate(cands):
+            bits[i] = m.kf_desc_bits[kf]
+            has[i] = (m.kf_matches[kf] >= 0) & m.kf_feat_valid[kf]
+            ang[i] = m.kf_angle[kf]
+        res = _np(
+            frame_ops.match_descriptors_to_many(
+                frame.feats.dev("desc_bits"), frame.feats.dev("valid"),
+                frame.feats.dev("angle"),
+                jnp.asarray(bits), jnp.asarray(has), jnp.asarray(ang),
+                self.cfg.match_th, 0.75,
+            )
+        )
+        nq = len(frame.feats["valid"])
+        uv_f = frame.feats["uv_und"].astype(np.float32)
+        sigma2_f = (
+            1.0 / np.clip(frame.feats["inv_sigma2"], 1e-9, None)
+        ).astype(np.float32)
+        pts_c = np.zeros((c_cap, nq, 3), np.float32)
+        val_c = np.zeros((c_cap, nq), bool)
+        match_pt = np.full((c_cap, nq), -1, np.int32)
+        enough = np.zeros(c_cap, bool)
+        for i, kf in enumerate(cands):
+            sl = np.nonzero(res["valid"][i])[0]
+            if len(sl) < 15:  # reference needs >=15 BoW matches per cand
                 continue
-            pt_ids = self.map.kf_matches[kf][res["idx"][slots]]
-            pts = self.map.pt_pos[pt_ids]
-            uv = frame.feats["uv_und"][slots]
-            sigma2 = 1.0 / np.clip(frame.feats["inv_sigma2"][slots], 1e-9, None)
-            out = {
-                k: np.asarray(v)
-                for k, v in pnp_ops.pnp_ransac(
-                    jnp.asarray(pts.astype(np.float32)), jnp.asarray(uv),
-                    jnp.asarray(sigma2.astype(np.float32)),
-                    jnp.asarray(np.ones(len(slots), bool)),
-                    float(self.cam.fx), float(self.cam.fy),
-                    float(self.cam.cx), float(self.cam.cy), self.cfg.seed,
-                ).items()
-            }
-            if int(out["n_inliers"]) < 10:
+            enough[i] = True
+            ids = m.kf_matches[kf][res["idx"][i][sl]]
+            pts_c[i, sl] = m.pt_pos[ids]
+            val_c[i, sl] = True
+            match_pt[i, sl] = ids
+        if not enough.any():
+            return False
+        outs = _np(
+            pnp_ops.pnp_ransac_many(
+                jnp.asarray(pts_c), jnp.asarray(np.tile(uv_f, (c_cap, 1, 1))),
+                jnp.asarray(np.tile(sigma2_f, (c_cap, 1))),
+                jnp.asarray(val_c),
+                float(self.cam.fx), float(self.cam.fy),
+                float(self.cam.cx), float(self.cam.cy), self.cfg.seed,
+            )
+        )
+        for i, kf in enumerate(cands):
+            if not enough[i] or int(outs["n_inliers"][i]) < 10:
                 continue
             pose = np.eye(4, dtype=np.float32)
-            pose[:3, :3] = out["r"]
-            pose[:3, 3] = out["t"]
-            matches = np.full(self.map.n_feat, -1, np.int32)
-            matches[slots[out["inliers"]]] = pt_ids[out["inliers"]]
+            pose[:3, :3] = outs["r"][i]
+            pose[:3, 3] = outs["t"][i]
+            inl = outs["inliers"][i] & val_c[i]
+            matches = np.where(inl, match_pt[i], -1).astype(np.int32)[: m.n_feat]
+            if len(matches) < m.n_feat:
+                matches = np.concatenate(
+                    [matches, np.full(m.n_feat - len(matches), -1, np.int32)]
+                )
             pose, matches, n_in = self._pose_optimize(frame, matches, pose)
             if n_in < 10:
                 continue

@@ -59,6 +59,9 @@ class _MappingWorker:
     def idle(self) -> bool:
         return self._pending == 0
 
+    def pending(self) -> int:
+        return self._pending
+
     def submit(self, kf: int):
         if self._error is not None:
             err, self._error = self._error, None
@@ -274,6 +277,9 @@ class System:
                 self.map, self.camera, self.database,
                 match_th=self.match_th, seed=self.seed, mesh=self.mesh,
             )
+            # threaded mode: BoW folded one keyframe late so loop-stage
+            # events never block on a device round trip
+            self.loop_closer.deferred_bow = self._worker is not None
             if self.async_mapping:
                 self.loop_closer.defer_ba_sink = self._register_deferred_fold
 
@@ -302,7 +308,7 @@ class System:
         self.vocabulary = train_vocabulary(descs, branching=32, depth=2, iters=5, seed=self.seed)
         self._enable_place_recognition()
 
-    def _on_new_keyframe(self, kf: int):
+    def _on_new_keyframe(self, kf):
         if self._worker is not None:
             # threaded mode: queue the whole event to the mapping worker
             # (reference LocalMapping::InsertKeyFrame, LocalMapping.cc:121)
@@ -310,23 +316,39 @@ class System:
             return
         self._mapping_event(kf)
 
-    def _mapping_event(self, kf: int):
+    def _mapping_event(self, kf):
         t0 = time.perf_counter()
-        # async (non-threaded) mapping: the local-BA solve is dispatched
-        # here but NOT waited on — it executes on-device while tracking
-        # processes the following frames, and folds back at the next map
-        # mutation (the TPU-native form of the reference's
-        # LocalMapping-thread overlap, src/System.cc:112-127 + mbAbortBA).
-        # In threaded mode the whole event already overlaps tracking, so
-        # the BA folds inline.
-        defer = self.async_mapping and self._worker is None
-        self.local_mapper.process_keyframe(kf, defer_ba=defer)
+        # the local-BA solve is dispatched at the end of the event but NOT
+        # waited on — it executes on-device while the loop stage and
+        # subsequent tracking run, and folds back at the next map mutation
+        # (the TPU-native form of the reference's LocalMapping-thread
+        # overlap, src/System.cc:112-127 + mbAbortBA). In threaded mode the
+        # triangulation/fusion results are deferred the same way: a steady
+        # worker event performs NO blocking device round trip at all.
+        # tri/fuse results fold WITHIN the event (a single ~1-RTT batched
+        # fetch on the worker thread — deferring them a whole event left
+        # freshly triangulated points un-bundle-adjusted too long and
+        # measurably degraded geometry); only the BA solve and the BoW
+        # transform stay deferred, so the event still never blocks on a
+        # long solve
+        defer = self.async_mapping
+        self.local_mapper.process_keyframe(
+            kf, defer_ba=defer, overlap_results=self._worker is not None
+        )
+        if self._worker is not None:
+            # land the BA fold INSIDE the event (the solve overlapped the
+            # event's fusion fetch + host stages on device; the fold costs
+            # one ~RTT batched fetch) — the map is settled whenever the
+            # worker goes idle, which keeps every tracker-side decision
+            # consistent (fully deferred folds produced keyframes anchored
+            # to pre-fold trajectories and measurably corrupted ATE)
+            self.local_mapper.fold_pending()
         self.mapping_times.append(time.perf_counter() - t0)
         self._maybe_train_vocabulary()
         if self.loop_closer is not None:
             t1 = time.perf_counter()
             self.loop_closer.process_keyframe(
-                kf, pre_mutate=self.local_mapper.fold_pending
+                kf, pre_mutate=self.local_mapper.flush_results
             )
             self.loop_times.append(time.perf_counter() - t1)
         elif self.database is not None:
@@ -428,7 +450,9 @@ class System:
         Tracking::Reset, src/Tracking.cc:1311-1356)."""
         if self._worker is not None:
             self._worker.flush()
-        self.local_mapper._pending_fold = None  # stale solve: drop, not fold
+        self.local_mapper._pending_fold = None  # stale results: drop, not fold
+        self.local_mapper._pending_tri = None
+        self.local_mapper._pending_fuse = None
         self.tracker._reset()
         if self.database is not None:
             self.database = None
@@ -446,14 +470,18 @@ class System:
         if self._worker is not None:
             self._worker.stop()
             self._worker = None
-        self.local_mapper.fold_pending()
+        self.local_mapper.flush_results()
+        if self.loop_closer is not None:
+            self.loop_closer.flush_bow()
         (jax.device_put(0.0) + 0).block_until_ready()
 
     # ------------------------------------------------------------- output
     def save_outputs(self, out_dir: str, exp_id: str = "exp"):
         if self._worker is not None:
             self._worker.flush()
-        self.local_mapper.fold_pending()
+        self.local_mapper.flush_results()
+        if self.loop_closer is not None:
+            self.loop_closer.flush_bow()
         os.makedirs(out_dir, exist_ok=True)
         kf_csv = os.path.join(out_dir, f"{exp_id}_KeyFrameTrajectory.csv")
         trajectory.save_keyframe_trajectory_vslamlab(kf_csv, self.map)
@@ -506,7 +534,9 @@ class System:
         """Persist the full map state (see SlamMap.save)."""
         if self._worker is not None:
             self._worker.flush()
-        self.local_mapper.fold_pending()
+        self.local_mapper.flush_results()
+        if self.loop_closer is not None:
+            self.loop_closer.flush_bow()
         self.map.save(path)
 
     def load_checkpoint(self, path: str):

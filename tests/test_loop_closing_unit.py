@@ -226,3 +226,67 @@ def test_sim3_total_match_gate(n_shared, expect):
     closer = LoopCloser(m, cam, db, match_th=75.0)
     ok, *_ = closer._compute_sim3(cur, 0)
     assert ok == expect
+
+
+def test_gba_propagation_to_mid_solve_keyframes():
+    """Keyframes/points created between the deferred-GBA dispatch and its
+    fold must land consistent with their GBA-corrected parents (reference
+    RunGlobalBundleAdjustment spanning-tree propagation,
+    src/LoopClosing.cc:683-744): child keeps its relative pose to the
+    parent; a mid-solve point keeps its camera-frame coords under its
+    reference keyframe."""
+    cam, m, gt_pose = build_loop_map()
+    n_kf = m.n_keyframes()
+    descs = np.concatenate(
+        [m.kf_desc_bits[k][m.kf_feat_valid[k]] for k in m.keyframe_ids()]
+    )
+    voc = vocab_mod.train_vocabulary(descs, branching=16, depth=2, iters=4)
+    db = KeyFrameDatabase(voc, m.max_kf)
+    closer = LoopCloser(m, cam, db, match_th=75.0)
+    folds = []
+    closer.defer_ba_sink = folds.append   # park the GBA fold (async mode)
+
+    closed = False
+    for kf in range(n_kf):
+        closed |= closer.process_keyframe(kf)
+        if closed:
+            break
+    assert closed, "loop was not closed"
+    assert folds, "deferred GBA fold was not parked"
+
+    # --- the solve is 'in flight': insert a child keyframe + a point
+    parent = int(m.keyframe_ids()[-1])
+    t_rel = np.eye(4, dtype=np.float32)
+    t_rel[:3, 3] = [0.05, -0.02, 0.01]
+    t_child = (t_rel @ m.kf_pose[parent]).astype(np.float32)
+    feats = dict(
+        uv_und=np.zeros((N_FEAT, 2), np.float32),
+        desc_bits=np.zeros((N_FEAT, 256), np.uint8),
+        octave=np.zeros(N_FEAT, np.int32),
+        size=np.ones(N_FEAT, np.float32),
+        angle=np.zeros(N_FEAT, np.float32),
+        inv_sigma2=np.ones(N_FEAT, np.float32),
+        valid=np.zeros(N_FEAT, bool),
+    )
+    kf_new = m.add_keyframe(t_child, ts=99.0, frame_id=999, feats=feats,
+                            matches=np.full(N_FEAT, -1, np.int32))
+    m.kf_parent[kf_new] = parent
+
+    pw = np.array([[0.3, -0.2, 4.0]], np.float32)
+    pc_before = pw @ t_child[:3, :3].T + t_child[:3, 3]
+    pid = m.add_points(pw, np.zeros((1, 256), np.uint8), ref_kf=kf_new,
+                       ref_sizes=np.ones(1, np.float32))[0]
+
+    parent_pose_before = m.kf_pose[parent].copy()
+    folds[0]()  # land the GBA
+
+    # GBA moved the parent (otherwise the test is vacuous)
+    assert not np.allclose(parent_pose_before, m.kf_pose[parent], atol=1e-5)
+    # child kept its relative pose to the corrected parent
+    t_rel_after = m.kf_pose[kf_new] @ np.linalg.inv(m.kf_pose[parent])
+    assert np.allclose(t_rel_after, t_rel, atol=1e-4), t_rel_after
+    # the mid-solve point moved WITH its reference keyframe
+    pc_after = (
+        m.pt_pos[pid] @ m.kf_pose[kf_new][:3, :3].T + m.kf_pose[kf_new][:3, 3]
+    )
+    assert np.allclose(pc_after, pc_before[0], atol=1e-4), (pc_after, pc_before)

@@ -102,6 +102,39 @@ def main(argv=None):
             f = (i + 1) / nt2
             x = (bx + radius) * (1 - f) + (2.5 + radius) * f
             poses.append(look_down_pose(x, 2.5, -2.0))
+    elif trajectory == "two_circles_revisit":
+        # lap circle A, transit to circle B, lap B, transit back, then a
+        # REVISIT LAP around A: unlike two_circles (which ends at A's
+        # edge), the revisit lap keeps minting keyframes inside A's old
+        # territory for many consecutive events — what the loop-closing
+        # consistency chain (3 consecutive keyframes with consistent BoW
+        # candidates, reference LoopClosing.cc:46,119-245) needs to fire
+        na = int(round(0.30 * n))
+        nt1 = int(round(0.07 * n))
+        nb = int(round(0.30 * n))
+        nt2 = int(round(0.07 * n))
+        ne = n - na - nt1 - nb - nt2
+        bx = 2.5 + 3.5 * radius
+        for i in range(na):
+            ang = 2 * np.pi * i / na
+            poses.append(look_down_pose(2.5 + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
+        for i in range(nt1):
+            f = (i + 1) / nt1
+            x = (2.5 + radius) * (1 - f) + (bx + radius) * f
+            poses.append(look_down_pose(x, 2.5, -2.0))
+        for i in range(nb):
+            ang = 2 * np.pi * i / nb
+            poses.append(look_down_pose(bx + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
+        for i in range(nt2):
+            f = (i + 1) / nt2
+            x = (bx + radius) * (1 - f) + (2.5 + radius) * f
+            poses.append(look_down_pose(x, 2.5, -2.0))
+        for i in range(ne):
+            ang = 2 * np.pi * i / na  # same angular rate as the first lap
+            poses.append(look_down_pose(2.5 + radius * np.cos(ang),
+                                        2.5 + radius * np.sin(ang), -2.0))
     elif trajectory == "loop_detour":
         # circle, then a long detour into fresh territory, then return to
         # the circle start: drift accumulates on the detour while new
