@@ -183,6 +183,13 @@ class LoopCloser:
         m = self.map
         has1 = (m.kf_matches[kf] >= 0) & m.kf_feat_valid[kf]
         has2 = (m.kf_matches[cand] >= 0) & m.kf_feat_valid[cand]
+        # ratio 0.9, not the reference's 0.75: the reference's SearchByBoW
+        # evaluates best/second-best INSIDE one BoW node (a handful of
+        # candidates, src/FeatureMatcher.cc:561-660); our dense matcher's
+        # second-best is global, which on self-similar scenes sits much
+        # closer to the best — the same 0.75 would reject genuinely
+        # correct correspondences the reference keeps (measured: 6-12
+        # survivors between two views of the SAME region vs the >=20 gate)
         res = {
             k: np.asarray(v)
             for k, v in frame_ops.match_descriptors_global(
@@ -190,10 +197,18 @@ class LoopCloser:
                 jnp.asarray(m.kf_angle[kf]),
                 jnp.asarray(m.kf_desc_bits[cand]), jnp.asarray(has2),
                 jnp.asarray(m.kf_angle[cand]),
-                self.match_th, 0.75,
+                self.match_th, 0.9,
             ).items()
         }
         sl1 = np.nonzero(res["valid"])[0]
+        if self.debug:
+            d = res.get("dist")
+            print(f"    [loop] sim3 match: kf={kf}({int(has1.sum())} slots) "
+                  f"cand={cand}({int(has2.sum())} slots) -> {len(sl1)} "
+                  f"accepted"
+                  + (f", dist med {np.median(d[sl1]):.0f}" if d is not None
+                     and len(sl1) else ""),
+                  flush=True)
         if len(sl1) < MIN_BOW_MATCHES:
             if self.debug:
                 print(f"    [loop] sim3 gate1: {len(sl1)} desc matches < "

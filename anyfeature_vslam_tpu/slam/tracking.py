@@ -574,9 +574,15 @@ class Tracker:
         inv_md = 1.0 / median_depth
         for kf in (kf1, kf2):
             self.map.kf_pose[kf][:3, 3] *= inv_md
-        valid_pts = np.nonzero(self.map.pt_valid)[0]
-        self.map.pt_pos[valid_pts] *= inv_md
-        self.map.update_point_stats(valid_pts)
+        # rescale ONLY the points this initialization created: when a map
+        # was loaded from a checkpoint (multi-session), rescaling every
+        # valid point silently destroys the loaded component's geometry
+        # (its keyframe poses keep the old scale) — only the new
+        # component's structure belongs to the new gauge
+        new_pts = np.asarray(ids)
+        new_pts = new_pts[self.map.pt_valid[new_pts]]
+        self.map.pt_pos[new_pts] *= inv_md
+        self.map.update_point_stats(new_pts)
 
         frame.pose = self.map.kf_pose[kf2].copy()
         frame.matches = self.map.kf_matches[kf2].copy()
@@ -1293,6 +1299,14 @@ class Tracker:
         ref_m = self.map.kf_matches[self.ref_kf]
         ref_pts = ref_m[ref_m >= 0]
         n_ref = int((counts[ref_pts] >= min_obs).sum())
+        if n_ref < 15 and min_obs > 2:
+            # degenerate reference keyframe (a FRESH map component booted
+            # inside a loaded mature map — multi-session operation the
+            # reference never faces): its points have only 2 observations,
+            # so the standard min_obs=3 yields n_ref=0 and c2 could never
+            # fire — the new component would starve. Fall back to
+            # min_obs=2 exactly as the reference does for young maps.
+            n_ref = int((counts[ref_pts] >= 2).sum())
 
         need_close = False
         if not mono and "depth" in frame.feats:

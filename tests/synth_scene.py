@@ -9,13 +9,37 @@ tracking -> loop closure) can run on controlled trajectories.
 import numpy as np
 
 
-def make_texture(size=2048, n_blobs=6000, seed=0):
+def make_texture(size=2048, n_blobs=6000, seed=0, distinct=False):
     rng = np.random.default_rng(seed)
     tex = np.full((size, size), 40.0, np.float32)
     ys = rng.integers(8, size - 8, n_blobs)
     xs = rng.integers(8, size - 8, n_blobs)
     vals = rng.uniform(80, 255, n_blobs)
     half = rng.integers(2, 6, n_blobs)
+    if distinct:
+        # place-DISTINCTIVE texture: every blob is a UNIQUE random patch
+        # (uniform flat squares are clones of each other — descriptors of
+        # two different squares match with genuinely low Hamming distance,
+        # so appearance matching cannot tell places apart and loop-closure
+        # candidates/correspondences are structurally ambiguous; real-world
+        # imagery is unique almost everywhere)
+        # structure must be (a) COARSER than the descriptor's smoothing
+        # (per-pixel randomness blurs to a featureless smudge) and (b)
+        # rich enough that blobs don't collide (2x2 quadrants give only 24
+        # orderings — unrelated features then match at Hamming ~22/256 and
+        # poison place recognition): each blob is a unique random 4x4 cell
+        # grid, cells >= 3 px so they survive the sigma~2 blur
+        half = np.clip(half + 4, 6, 12)
+        ys = np.clip(ys, half, size - half)
+        xs = np.clip(xs, half, size - half)
+        for y, x, h in zip(ys, xs, half):
+            cells = rng.uniform(40, 255, (4, 4))
+            patch = np.repeat(
+                np.repeat(cells, (2 * h + 3) // 4, axis=0),
+                (2 * h + 3) // 4, axis=1,
+            )[: 2 * h, : 2 * h]
+            tex[y - h : y + h, x - h : x + h] = patch
+        return tex
     for y, x, v, h in zip(ys, xs, vals, half):
         tex[y - h : y + h, x - h : x + h] = v
     return tex

@@ -62,6 +62,11 @@ def main(argv=None):
     revisit = float(args.get("revisit", 0.25))
     radius = float(args.get("radius", 0.8))
     seed = int(args.get("seed", 3))
+    # per-frame Gaussian image noise (gray levels): degrades feature
+    # localization so monocular drift accumulates realistically — the
+    # noise-free renderer tracks so cleanly that revisits reconnect
+    # without ever needing a loop closure
+    noise = float(args.get("noise", 0.0))
 
     from synth_scene import PlaneScene, look_down_pose, make_texture
     from PIL import Image
@@ -69,8 +74,10 @@ def main(argv=None):
     fx = fy = 0.8125 * w  # 260/320 of the test camera, resolution-scaled
     cx, cy = w / 2.0, h / 2.0
     k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    distinct = args.get("texture", "") == "distinct"
     scene = PlaneScene(k, w, h, seed=seed,
-                       tex=make_texture(n_blobs=15000, seed=seed))
+                       tex=make_texture(n_blobs=15000, seed=seed,
+                                        distinct=distinct))
 
     trajectory = args.get("trajectory", "circle")
     poses = []
@@ -125,8 +132,15 @@ def main(argv=None):
             poses.append(look_down_pose(x, 2.5, -2.0))
         for i in range(nb):
             ang = 2 * np.pi * i / nb
+            # smooth height oscillation on the far circle: monocular SLAM
+            # accumulates SCALE drift through depth changes without ever
+            # losing track — by the revisit the old map mismatches in
+            # scale, guided matching cannot reconnect, and only a
+            # free-scale Sim3 loop closure can (the scenario
+            # OptimizeEssentialGraph exists for)
+            z = -2.0 - 0.5 * np.sin(ang)
             poses.append(look_down_pose(bx + radius * np.cos(ang),
-                                        2.5 + radius * np.sin(ang), -2.0))
+                                        2.5 + radius * np.sin(ang), z))
         for i in range(nt2):
             f = (i + 1) / nt2
             x = (bx + radius) * (1 - f) + (2.5 + radius) * f
@@ -169,6 +183,9 @@ def main(argv=None):
     gt = ["# ts tx ty tz qx qy qz qw (T_wc)"]
     for i, t_cw in enumerate(poses):
         img = scene.render(t_cw)
+        if noise > 0:
+            nrng = np.random.default_rng(seed * 100003 + i)
+            img = img + nrng.normal(0.0, noise, img.shape)
         rel = f"rgb/{i:06d}.png"
         Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "L").save(
             os.path.join(out, rel))
