@@ -41,6 +41,30 @@ from anyfeature_vslam_tpu.ops import pose_opt
 from . import frame_ops
 
 
+@jax.jit
+def predict_pose(last_pose, prev_pose):
+    """Constant-velocity pose prediction computed ON DEVICE from the two
+    previous dispatches' pose outputs: pred = (T_last T_prev^-1) T_last
+    (reference velocity model, src/Tracking.cc:340-350,729-744). Keeping
+    this on device lets the pipelined tracker dispatch frame i before
+    frame i-1's pose has ever reached the host."""
+    r = last_pose[:3, :3]
+    t = last_pose[:3, 3]
+    rp = prev_pose[:3, :3]
+    tp = prev_pose[:3, 3]
+    # inv of SE3: [R^T, -R^T t]
+    r_inv = rp.T
+    t_inv = -r_inv @ tp
+    vel_r = r @ r_inv
+    vel_t = r @ t_inv + t
+    pred_r = vel_r @ r
+    pred_t = vel_r @ t + vel_t
+    pred = jnp.eye(4, dtype=last_pose.dtype)
+    pred = pred.at[:3, :3].set(pred_r)
+    pred = pred.at[:3, 3].set(pred_t)
+    return pred
+
+
 @partial(jax.jit, static_argnames=("cfg", "height", "width"))
 def fused_extract_track(
     img8, cam, cfg, height, width,

@@ -149,12 +149,16 @@ def run_bundle_adjustment(
     obs_uv = np.concatenate(obs_uv).astype(np.float32)
     obs_w = np.concatenate(obs_w).astype(np.float32)
 
-    # pad to coarse 4x-step buckets: fewer distinct compiled shapes during
-    # map growth than pow-2 steps (each new shape is a full XLA compile,
-    # which dominated the round-2 System bench — VERDICT r2 weak #1b)
-    k_cap = _pad_sched(len(kf_list), (4, 16, 64, 256, 1024, 4096))
-    p_cap = _pad_sched(len(pt_ids), (256, 1024, 4096, 16384, 65536, 262144))
-    o_cap = _pad_sched(n_obs, (1024, 4096, 16384, 65536, 262144, 1048576))
+    # deliberately COARSE ladders: every distinct (k,p,o) combination is
+    # one XLA program, and tracing+lowering a program costs ~1-2 s of
+    # GIL-heavy host work even when the binary is already in the
+    # persistent cache. Fine-grained ladders made nearly every run hit a
+    # fresh combination mid-run (r5 measured ~19 compiles/run); three
+    # steps per axis keeps a steady run at ZERO new programs after warmup
+    # while padding waste stays bounded.
+    k_cap = _pad_sched(len(kf_list), (4, 64, 1024))
+    p_cap = _pad_sched(len(pt_ids), (256, 4096, 65536))
+    o_cap = _pad_sched(n_obs, (1024, 16384, 65536, 262144))
 
     poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
     poses[: len(kf_list)] = slam_map.kf_pose[kf_list]
@@ -252,7 +256,9 @@ class LocalMapper:
     def __init__(self, slam_map: SlamMap, cam, match_th: float = 75.0,
                  max_tri_kfs: int = 10, max_ba_kfs: int = 20, mesh=None,
                  size_tolerance: float = 1.2, sensor: str = "monocular",
-                 th_depth: float = 0.0):
+                 th_depth: float = 0.0, lock=None):
+        import threading
+
         self.map = slam_map
         self.cam = cam
         self.mesh = mesh  # optional device mesh: local BA runs sharded
@@ -264,27 +270,20 @@ class LocalMapper:
         self.size_tolerance = float(size_tolerance)
         self.sensor = sensor
         self.th_depth = float(th_depth)
+        # serializes map MUTATIONS against the tracker (System passes its
+        # map_lock in threaded mode). The event holds it only around the
+        # actual mutation/dispatch windows — never across a device wait —
+        # so keyframe minting and fast-state rebuilds on the tracking
+        # thread stall for milliseconds, not a whole mapping event (the
+        # reference gets the same property from its interruptible local BA
+        # + per-object mutexes, src/LocalMapping.cc:78,125).
+        self.lock = lock if lock is not None else threading.RLock()
         # recent points: pt_id -> kf count at creation (for culling)
         self.recent: dict[int, int] = {}
         self.n_kf_processed = 0
         # deferred local-BA fold (async-mapping mode)
         self._pending_fold = None
-        # deferred triangulation / fusion results (threaded mode): each
-        # keyframe event DISPATCHES its device programs with non-blocking
-        # host copies and FOLDS the previous event's (long-landed) results
-        # — the steady-state mapping path contains no blocking device
-        # round trip, so tunnel-latency variance cannot stall the worker
-        # (round 4's fetch-bound events serialized the whole system)
-        self._pending_tri = None
-        self._pending_fuse = None
         self.debug = False
-        # optional callback invoked between event stages (System wires the
-        # tracker's fast-state refresh): the map is consistent at each
-        # stage boundary, so the tracker's device snapshot can follow the
-        # event's mutations at sub-event granularity instead of going a
-        # whole event stale (~hundreds of tracked frames per second ride
-        # that snapshot)
-        self.post_stage = None
         # device-resident per-keyframe feature mirrors: keyframe feature
         # snapshots are immutable after insertion, so the batched mapping
         # programs stack these cached device rows instead of re-uploading
@@ -365,6 +364,40 @@ class LocalMapper:
             self._pending_fold = None
             f()
 
+    def arm_fold_watcher(self):
+        """Land the pending deferred fold from a side thread the moment its
+        device results have finished, instead of blocking the mapping event
+        on the solve. The fold mutates the map, so it runs under the
+        mapper's lock; the identity check makes it a no-op if a
+        flush_results already consumed the fold meanwhile. This is the
+        worker-thread form of the reference's interruptible local BA
+        (mbAbortBA, src/LocalMapping.cc:78,125): the keyframe event ends
+        when the solve is DISPATCHED, and the result lands asynchronously."""
+        import threading
+
+        f = self._pending_fold
+        if f is None:
+            return
+        ev = getattr(f, "ready", None)
+
+        def run():
+            if ev is not None:
+                ev.wait()
+            with self.lock:
+                if self._pending_fold is f:
+                    self.fold_pending()
+
+        threading.Thread(target=run, daemon=True, name="ba-fold").start()
+
+    def wait_pending_ready(self):
+        """Block (lock-free) until the pending deferred solve's device
+        results have landed on the host."""
+        f = self._pending_fold
+        if f is not None:
+            ev = getattr(f, "ready", None)
+            if ev is not None:
+                ev.wait()
+
     def is_idle(self) -> bool:
         """Reference LocalMapping::AcceptKeyFrames (LocalMapping.cc:576-588):
         the mapper is busy while a dispatched BA solve is still executing on
@@ -378,22 +411,21 @@ class LocalMapper:
         return ev is None or ev.is_set()
 
     def process_keyframe(self, kf: int, defer_ba: bool = False,
-                         deferred_results: bool = False,
                          overlap_results: bool = False):
-        """One keyframe event.
+        """One keyframe event (reference LocalMapping::Run order,
+        src/LocalMapping.cc:48-119).
 
-        deferred_results=False (synchronous / test mode): dispatch + fold
-        each device program in place — the reference LocalMapping order,
-        deterministic.
+        overlap_results=False (synchronous / test mode): dispatch + fold
+        each device program in place — deterministic.
 
-        deferred_results=True (threaded mode): DISPATCH triangulation,
-        fusion and the local BA with non-blocking host copies, and FOLD the
-        PREVIOUS event's results (whose copies landed long ago). The
-        steady-state event then contains no blocking device round trip at
-        all — on a tunneled backend this makes the mapping worker immune
-        to latency variance, at the cost of results landing one keyframe
-        late (the reference's queue between Tracking and LocalMapping has
-        the same one-event latency class)."""
+        overlap_results=True (threaded mode): dispatch triangulation AND
+        fusion together (the two programs pipeline on device, their host
+        copies land in parallel), then WAIT for the results with the map
+        lock RELEASED, then fold both under short lock windows. The
+        tracking thread can mint keyframes / rebuild its device snapshot
+        during the wait — the event never makes it pay a device round
+        trip. Semantics drift vs the reference's strict order: fusion does
+        not see THIS event's new points (they fuse next event)."""
         import time
 
         stages = getattr(self, "stage_times", None)
@@ -403,58 +435,72 @@ class LocalMapper:
         def mark(name, t0):
             t1 = time.perf_counter()
             stages.setdefault(name, []).append(t1 - t0)
-            if self.post_stage is not None:
-                self.post_stage()
             return t1
 
         t = time.perf_counter()
-        self.flush_results()
+        # if the previous event's BA solve is still executing, wait for its
+        # results to land BEFORE taking the lock — folding an unlanded
+        # solve under the lock would stall the tracking thread for the
+        # whole remaining solve time
+        self.wait_pending_ready()
+        with self.lock:
+            self.flush_results()
         t = mark("fold", t)
-        self.n_kf_processed += 1
-        m = self.map.kf_matches[kf]
-        self.map.update_point_stats(np.unique(m[m >= 0]))
-        # first connection update: spanning-tree parent = max-weight
-        # covisible (reference KeyFrame::UpdateConnections,
-        # src/KeyFrame.cc:410-415; the very first keyframe stays root)
-        if self.map.kf_parent[kf] < 0 and int(self.map.kf_uid[kf]) != 0:
-            w = self.map.covisibility_weights(kf)
-            w[kf] = 0
-            best = int(np.argmax(w))
-            if w[best] > 0:
-                self.map.kf_parent[kf] = best
-        self._cull_recent_points()
+        with self.lock:
+            self.n_kf_processed += 1
+            m = self.map.kf_matches[kf]
+            self.map.update_point_stats(np.unique(m[m >= 0]))
+            # first connection update: spanning-tree parent = max-weight
+            # covisible (reference KeyFrame::UpdateConnections,
+            # src/KeyFrame.cc:410-415; the very first keyframe stays root)
+            if self.map.kf_parent[kf] < 0 and int(self.map.kf_uid[kf]) != 0:
+                w = self.map.covisibility_weights(kf)
+                w[kf] = 0
+                best = int(np.argmax(w))
+                if w[best] > 0:
+                    self.map.kf_parent[kf] = best
+            self._cull_recent_points()
         t = mark("stats+cullpts", t)
         if self.map.n_keyframes() >= 2:
             if overlap_results:
-                # threaded mode: dispatch triangulation AND fusion before
-                # fetching either — the two programs pipeline on device and
-                # their outputs land in one batched round trip. Semantics
-                # drift vs the reference's strict order: fusion does not
-                # see THIS event's new points (they fuse next event).
+                # dispatch prep is READ-ONLY on the map and deliberately
+                # lock-free: the only concurrent mutators are keyframe
+                # minting (safe — kf_valid is published last) and a
+                # landing BA fold (pose/point refinements; reading a mix
+                # of pre/post values is the same staleness class the
+                # reference's per-object mutexes allow). Holding the lock
+                # here was the tracker's main stall source.
                 rec_t = self._dispatch_new_points(kf)
                 rec_f = self._dispatch_fuse(kf)
+                t = mark("dispatch", t)
+                # the long part (device compute + tunnel readback) also
+                # runs with the lock released
+                for rec in (rec_t, rec_f):
+                    if rec is not None:
+                        rec["ready"].wait()
+                t = mark("wait", t)
                 if rec_t is not None:
-                    self._fold_new_points(rec_t)
+                    with self.lock:
+                        self._fold_new_points(rec_t)
                 t = mark("triangulate", t)
                 if rec_f is not None:
-                    self._fold_fuse(rec_f)
+                    with self.lock:
+                        self._fold_fuse(rec_f)
                 t = mark("fuse", t)
             else:
-                rec = self._dispatch_new_points(kf)
-                if deferred_results:
-                    self._pending_tri = rec
-                elif rec is not None:
-                    self._fold_new_points(rec)
-                t = mark("triangulate", t)
-                rec = self._dispatch_fuse(kf)
-                if deferred_results:
-                    self._pending_fuse = rec
-                elif rec is not None:
-                    self._fold_fuse(rec)
-                t = mark("fuse", t)
-            self._local_ba(kf, defer=(defer_ba or deferred_results))
+                with self.lock:
+                    rec = self._dispatch_new_points(kf)
+                    if rec is not None:
+                        self._fold_new_points(rec)
+                    t = mark("triangulate", t)
+                    rec = self._dispatch_fuse(kf)
+                    if rec is not None:
+                        self._fold_fuse(rec)
+                    t = mark("fuse", t)
+            self._local_ba(kf, defer=defer_ba)
             t = mark("ba_dispatch", t)
-        self._cull_keyframes(kf)
+        with self.lock:
+            self._cull_keyframes(kf)
         mark("cullkfs", t)
         if self.debug:
             mm = self.map.kf_matches[kf]
@@ -465,25 +511,8 @@ class LocalMapper:
             )
 
     def flush_results(self):
-        """Fold every deferred result (previous event's triangulation and
-        fusion, then the pending BA) into the map."""
-        rec, self._pending_tri = self._pending_tri, None
-        if rec is not None:
-            self._fold_new_points(rec)
-        rec, self._pending_fuse = self._pending_fuse, None
-        if rec is not None:
-            self._fold_fuse(rec)
+        """Land the pending deferred local-BA fold into the map."""
         self.fold_pending()
-
-    def results_ready(self) -> bool:
-        """True when every deferred device result has finished computing —
-        the threaded keyframe-cadence gate (mapping is 'busy' while its
-        dispatched programs still occupy the chip, reference
-        LocalMapping::AcceptKeyFrames)."""
-        for rec in (self._pending_tri, self._pending_fuse):
-            if rec is not None and not rec["ready"].is_set():
-                return False
-        return self.is_idle()
 
     # ------------------------------------------------------------------
     # tighter ladders than round 3's (8,32,128)/(2,8,32): the padded
@@ -491,7 +520,7 @@ class LocalMapper:
     # real neighbors does 2.5x the matching work), and mapping device time
     # directly stalls the pipelined tracker's little per-frame programs on
     # the shared chip. Each step still compiles once (persistent cache).
-    FUSE_T_SCHEDULE = (8, 16, 32, 64, 128)
+    FUSE_T_SCHEDULE = (16, 64, 128)
 
     def _dispatch_fuse(self, kf: int):
         """Reference SearchInNeighbors (LocalMapping.cc:475-555): project the
@@ -703,7 +732,7 @@ class LocalMapper:
             self.recent.pop(pt, None)
 
     # ------------------------------------------------------------------
-    TRI_T_SCHEDULE = (2, 6, 12, 20, 32)
+    TRI_T_SCHEDULE = (8, 20, 32)
 
     def _dispatch_new_points(self, kf: int):
         """Reference CreateNewMapPoints (LocalMapping.cc:231-473), batched:

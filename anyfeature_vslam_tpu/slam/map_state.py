@@ -103,6 +103,7 @@ class SlamMap:
         # fine-grained revision: bumped on ANY mutation of point/keyframe
         # geometry or structure; device-side caches key on it
         self.rev = 0
+        self._obs_counts_cache = None
 
     # ---------------------------------------------------------- checkpoint
     _SCALARS = (
@@ -240,7 +241,6 @@ class SlamMap:
             self._grow_keyframes()
             free = np.nonzero(~self.kf_valid)[0]
         kf = int(free[0])
-        self.kf_valid[kf] = True
         self.kf_parent[kf] = -1
         self.kf_pose[kf] = pose
         self.kf_ts[kf] = ts
@@ -259,6 +259,10 @@ class SlamMap:
         self._uid_counter += 1
         self.kf_uid[kf] = uid
         self.uid_slot[uid] = kf
+        # publication point LAST: mutation holds the map lock, but the
+        # mapping worker's read-mostly windows are lock-free — a reader
+        # must see either no keyframe or a fully-written one
+        self.kf_valid[kf] = True
         return kf
 
     def remove_keyframe(self, kf: int):
@@ -436,16 +440,24 @@ class SlamMap:
 
     def point_observation_counts(self, stereo_weighted: bool = False):
         """(max_pt,) observation tally per point. Uses the native map-graph
-        kernel when available (native/slam_native.cpp).
+        kernel when available (native/slam_native.cpp). Cached on the map
+        revision — the keyframe decision consumes this every frame, but
+        the tally only changes when the map mutates.
 
         stereo_weighted: count a depth-bearing observation as 2 (reference
         MapPoint::GetNumberOfObservations, src/MapPoint.cc:123-140) — the
         keyframe-decision / culling thresholds consume this form."""
         from anyfeature_vslam_tpu import native
 
+        cache = getattr(self, "_obs_counts_cache", None)
+        key = (self.rev, stereo_weighted)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+
         if not stereo_weighted:
             out = native.point_obs_counts(self.kf_matches, self.kf_valid, self.max_pt)
             if out is not None:
+                self._obs_counts_cache = (key, out)
                 return out
         counts = np.zeros(self.max_pt, np.int64)
         for kf in self.keyframe_ids():
@@ -456,6 +468,7 @@ class SlamMap:
                 np.add.at(counts, m[sl], w)
             else:
                 np.add.at(counts, m[sl], 1)
+        self._obs_counts_cache = (key, counts)
         return counts
 
     def covisibility_weights(self, kf: int):

@@ -127,6 +127,22 @@ class DeviceFeats(dict):
             self[k]
         return self
 
+    def fetch_all(self):
+        """Fetch EVERY device-resident field (small + bulky) in ONE
+        batched transfer. Keyframe minting touches all of them; two
+        separate transfers (small batch + desc_bits) cost two tunnel round
+        trips where one suffices."""
+        keys = [k for k in self._dev if not super().__contains__(k)]
+        if keys:
+            from anyfeature_vslam_tpu import perfcount
+
+            with perfcount.timed_fetch():
+                vals = jax.device_get([self._dev[k] for k in keys])
+            for k, v in zip(keys, vals):
+                super().__setitem__(k, v)
+        self._fetched_small = True
+        return self
+
     def items(self):
         self.materialize()
         return super().items()
@@ -155,6 +171,9 @@ class FrameData:
     # into the map (reference mlpTemporalPoints, Tracking.cc:663-727)
     vo_pts3d: np.ndarray | None = None
     vo_valid: np.ndarray | None = None
+    # trajectory entry + tracked-frame stat already recorded (set by the
+    # pipelined retire path so process_frame does not double-record)
+    finished: bool = False
 
 
 def _np(d):
@@ -238,6 +257,28 @@ class Tracker:
         # slam/fast_track.py). Refreshed whenever the map revision changes.
         self.use_fast_path = True
         self._fast_state = None
+        # pipelined tracking (depth > 0): frame i's fused program is
+        # DISPATCHED immediately and its results RETIRED `depth` frames
+        # later, by which time the async host copies have landed — the
+        # ~one-round-trip blocking fetch per frame disappears from the
+        # critical path. The device-side carry chains dispatch-to-dispatch
+        # (including the constant-velocity prediction, fast_track.
+        # predict_pose), so a steady tracked frame costs the host nothing
+        # but the dispatch. Trade-off: poses/decisions for frame i land at
+        # frame i+depth (the reference's worker threads impose the same
+        # latency class on mapping decisions; tracking output latency is
+        # new, and bounded by `depth` frames).
+        self.pipeline_depth = 0
+        self._fs_built_fid = -(10 ** 9)
+        self._dev_consts = None
+        from collections import deque
+
+        self._inflight: "deque" = deque()
+        # device-side dispatch chain: fid, carry (uv/bits/size/angle/
+        # match_pt/match_pos of the last DISPATCHED frame), pose + prev
+        # pose device arrays
+        self._chain = None
+        self._draining = False
         self.last: FrameData | None = None
         self.init_ref: FrameData | None = None
         self.ref_kf: int = -1
@@ -399,6 +440,25 @@ class Tracker:
             and self.cfg.detector != "precomputed"
             and depth is None and img_right is None
         )
+        # pipelined steady state: dispatch this frame's fused program now,
+        # retire the frame that fell off the pipeline window
+        if (
+            self.pipeline_depth > 0 and defer_extract
+            and not self._draining
+        ):
+            frame = FrameData(fid, ts, None)
+            rec = self._fast_dispatch(frame, img)
+            if rec is not None:
+                self._inflight.append(rec)
+                while len(self._inflight) > self.pipeline_depth:
+                    rec0 = self._inflight.popleft()
+                    if not self._fast_retire(rec0, pipelined=True):
+                        self._handle_fast_failure(rec0["frame"])
+                        break
+                return self.state
+            # dispatch not possible (no usable chain/snapshot): fall
+            # through to the sequential paths below
+        self.flush_pipeline()
         feats = None if defer_extract else self._extract(
             img, init=init_phase, image_path=image_path
         )
@@ -407,7 +467,13 @@ class Tracker:
             self._attach_depth(feats, depth)
         elif img_right is not None:
             self._attach_stereo(feats, img, img_right)
+        self._run_state_machine(frame, img)
+        return self.state
 
+    def _run_state_machine(self, frame: FrameData, img=None):
+        """Per-frame state transitions (reference Track(), Tracking.cc:154-388).
+        Shared by the sequential path and the pipeline drain."""
+        mono = self.cfg.sensor == "monocular"
         if self.state == TrackState.NOT_INITIALIZED:
             if mono:
                 self._monocular_initialization(frame)
@@ -425,25 +491,71 @@ class Tracker:
             if self._relocalization(frame):
                 self.state = TrackState.OK
                 self.stats["relocalizations"] += 1
-                self.last_reloc_frame_id = fid
+                self.last_reloc_frame_id = frame.frame_id
                 self.mb_vo = False
                 self.velocity = None
                 self.last = frame
             else:
                 self.stats["lost_frames"] += 1
+        self._finish_frame(frame)
 
-        if frame.pose is not None and self.ref_kf >= 0:
-            t_ref = self.map.kf_pose[self.ref_kf]
-            t_cr = frame.pose @ np.linalg.inv(t_ref)
-            # anchor on the keyframe's stable uid: slots are recycled after
-            # culling (reference records pKF + Tcr the same way,
-            # src/Tracking.cc:371-387)
-            self.trajectory.append(
-                (ts, t_cr.copy(), int(self.map.kf_uid[self.ref_kf]),
-                 self.state != TrackState.OK)
-            )
-            self.stats["tracked_frames"] += 1
-        return self.state
+    def _finish_frame(self, frame: FrameData):
+        """Record the frame's trajectory entry (once)."""
+        if frame.finished or frame.pose is None or self.ref_kf < 0:
+            return
+        t_ref = self.map.kf_pose[self.ref_kf]
+        t_cr = frame.pose @ np.linalg.inv(t_ref)
+        # anchor on the keyframe's stable uid: slots are recycled after
+        # culling (reference records pKF + Tcr the same way,
+        # src/Tracking.cc:371-387)
+        self.trajectory.append(
+            (frame.ts, t_cr.copy(), int(self.map.kf_uid[self.ref_kf]),
+             self.state != TrackState.OK)
+        )
+        self.stats["tracked_frames"] += 1
+        frame.finished = True
+
+    # ---------------------------------------------------------- pipeline
+    def flush_pipeline(self):
+        """Retire every in-flight frame (oldest first). Entered before any
+        sequential processing so frame ordering is preserved; failures
+        drain the remaining frames through the normal state machine."""
+        while self._inflight:
+            rec = self._inflight.popleft()
+            if not self._fast_retire(rec, pipelined=True):
+                self._handle_fast_failure(rec["frame"])
+                break
+
+    def _handle_fast_failure(self, frame: FrameData):
+        """A retired frame failed its speculative fused track: replay it —
+        and the (now invalid) successor frames — through the sequential
+        state machine in order. The replay gives the failed frame a second
+        attempt with FRESH state (reseeded carry, staged fallbacks): a
+        speculative failure usually means the pipeline's device-side chain
+        went stale, not that the frame is untrackable, and a clean retry
+        avoids a needless LOST->relocalization excursion. A frame that
+        also fails the retry takes the normal LOST path inside
+        _run_state_machine."""
+        self._chain = None
+        self._fast_state = None  # the stale snapshot likely caused this
+        pending = [frame] + [rec["frame"] for rec in self._inflight]
+        self._inflight.clear()
+        self._draining = True
+        # retry through the STAGED path: the fused program already failed
+        # on this data, and the staged path's fresh local-map candidate
+        # set + per-stage fallbacks succeed where the fused snapshot
+        # could not (motion-model -> ref-KF -> local map, reference
+        # Track() :293-316)
+        old_fast = self.use_fast_path
+        self.use_fast_path = False
+        try:
+            for f in pending:
+                f.pose = None
+                f.matches = None
+                self._run_state_machine(f, None)
+        finally:
+            self.use_fast_path = old_fast
+            self._draining = False
 
     def _reset(self):
         self.map.__init__(self.map.max_kf, self.map.max_pt, self.map.n_feat,
@@ -454,6 +566,7 @@ class Tracker:
         self.init_ref = None
         self.ref_kf = -1
         self._fast_state = None
+        self._chain = None
         self.stats["resets"] += 1
 
     # ---------------------------------------------------- initialization
@@ -929,60 +1042,112 @@ class Tracker:
 
     # ----------------------------------------------------- fused fast path
     def _try_fast_track(self, frame: FrameData, img=None):
-        """One-dispatch tracked frame (slam/fast_track.py; extraction is
-        folded into the same dispatch when frame.feats is still deferred).
+        """One-dispatch tracked frame (dispatch + immediate retire).
         Returns True / False (tracking outcome) or None when the fast path
         does not apply and the staged host-orchestrated path should run
         instead."""
+        rec = self._fast_dispatch(frame, img)
+        if rec is None:
+            return None
+        return self._fast_retire(rec, pipelined=False)
+
+    def _fast_dispatch(self, frame: FrameData, img=None):
+        """Dispatch the fused tracking program for `frame` and start the
+        async host copies of its small outputs. Returns an in-flight
+        record (for _fast_retire) or None when the fast path does not
+        apply. The device-side chain (carry + last two poses) makes the
+        dispatch independent of the previous frame's un-retired results:
+        prediction runs on device (fast_track.predict_pose)."""
+        from anyfeature_vslam_tpu import perfcount
+        import time as _time
+
+        t0 = _time.perf_counter()
         cfg = self.cfg
-        last = self.last
         if (
             not self.use_fast_path
             or cfg.sensor != "monocular"
             or cfg.detector == "precomputed"
-            or last is None or last.pose is None or last.matches is None
-            or not isinstance(last.feats, DeviceFeats)
+            or self.only_tracking
             or not (isinstance(frame.feats, DeviceFeats)
                     or (frame.feats is None and img is not None))
-            # the post-init frame carries the 2x-capacity init extraction
-            or int(last.feats.dev("uv_und").shape[0]) != self.map.n_feat
         ):
             return None
         m = self.map
+        chain = self._chain
+        if chain is not None and chain["fid"] != frame.frame_id - 1:
+            chain = None  # a slow/lost frame broke the chain
+        if chain is None:
+            # seed from the last retired frame's host truth
+            last = self.last
+            if (
+                last is None or last.pose is None or last.matches is None
+                or not isinstance(last.feats, DeviceFeats)
+                # the post-init frame carries the 2x-capacity init extraction
+                or int(last.feats.dev("uv_und").shape[0]) != m.n_feat
+            ):
+                return None
+            carry = self._build_fast_carry()
+            if carry is None:
+                return None
+            chain = dict(
+                fid=last.frame_id, carry=carry,
+                pose=jnp.asarray(last.pose.astype(np.float32)), prev=None,
+            )
         fs = self._fast_state
-        if fs is None or (fs["rev"] != m.rev and self.mapping_idle()):
-            # rebuild the device-resident snapshot only when mapping is
-            # parked: mid-event map arrays are in flux (threaded mode), and
-            # the stale snapshot is exactly what the reference's tracking
-            # reads while its mapping thread works
-            with self.map_lock:
-                fs = self._build_fast_state()
-            self._fast_state = fs
-            if fs is None:
-                return None
-        # the carry is only valid if it was produced from exactly the last
-        # frame (a slow-tracked or relocalized frame in between leaves it
-        # stale) — otherwise rebuild it from host truth
-        if fs.get("carry") is None or fs.get("carry_fid") != last.frame_id:
-            fs["carry"] = self._build_fast_carry()
-            fs["carry_fid"] = last.frame_id
-            if fs["carry"] is None:
-                return None
-        carry = fs["carry"]
-        use_motion = (
-            self.velocity is not None
-            and frame.frame_id >= self.last_reloc_frame_id + 2
-        )
-        pred = (
-            (self.velocity @ last.pose) if use_motion else last.pose
-        ).astype(np.float32)
+        if fs is None or fs["rev"] != m.rev:
+            # refresh the device-resident snapshot when the map mutated.
+            # The rebuild takes the map lock (mutation windows are short
+            # now), so it no longer needs to wait for mapping to go fully
+            # idle — round 4's idle-only refresh let the snapshot go tens
+            # of frames stale during long mapping events, decaying the
+            # match count until tracking was lost. But a rebuild costs a
+            # ~MB block upload + host gathers, so while mapping is busy it
+            # only triggers ADAPTIVELY: when the inlier count shows real
+            # decay, or at a long staleness deadline.
+            if (
+                fs is None or self.mapping_idle()
+                or self.n_inliers < 50
+                or frame.frame_id - self._fs_built_fid >= 8
+            ):
+                t_fs = _time.perf_counter()
+                with self.map_lock:
+                    fs = self._build_fast_state()
+                self._fast_state = fs
+                self._fs_built_fid = frame.frame_id
+                perfcount.bump("t_fs_rebuild_s", _time.perf_counter() - t_fs)
+                perfcount.bump("fs_rebuilds")
+                if fs is None:
+                    return None
+        carry = chain["carry"]
+        reloc_ok = frame.frame_id >= self.last_reloc_frame_id + 2
+        if chain["prev"] is not None and reloc_ok:
+            # velocity from the two previous dispatches, all on device
+            use_motion = True
+            pred = fast_track.predict_pose(chain["pose"], chain["prev"])
+        elif self.velocity is not None and reloc_ok and self.last is not None \
+                and self.last.frame_id == chain["fid"]:
+            use_motion = True
+            pred = jnp.asarray(
+                (self.velocity @ self.last.pose).astype(np.float32)
+            )
+        else:
+            use_motion = False
+            pred = chain["pose"]
+        dc = self._dev_consts
+        if dc is None:
+            # per-run device constants, uploaded once (a fresh jnp.asarray
+            # per frame costs a host->device transfer each)
+            dc = self._dev_consts = dict(
+                true=jnp.asarray(True), false=jnp.asarray(False),
+                lo=jnp.asarray(self.bounds_lo), hi=jnp.asarray(self.bounds_hi),
+            )
         common = (
             carry["uv"], carry["bits"], carry["size"], carry["angle"],
             carry["match_pt"], carry["match_pos"],
             *fs["ref"], *fs["block"],
-            jnp.asarray(pred), jnp.asarray(last.pose.astype(np.float32)),
-            jnp.asarray(bool(use_motion)),
-            jnp.asarray(self.bounds_lo), jnp.asarray(self.bounds_hi),
+            pred, chain["pose"],
+            dc["true"] if use_motion else dc["false"],
+            dc["lo"], dc["hi"],
             float(self.cam.fx), float(self.cam.fy),
             float(self.cam.cx), float(self.cam.cy),
             float(cfg.motion_radius), float(cfg.match_th),
@@ -1012,37 +1177,107 @@ class Tracker:
             )
         feats = frame.feats
         pose_d, pt_d, n_in_d, vis_d, ok1_d, used_mm_d, pos_d = out
-        pose_np, pt_np, n_in, vis_np, ok1 = jax.device_get(
-            (pose_d, pt_d, n_in_d, vis_d, ok1_d)
+        small = (pose_d, pt_d, n_in_d, vis_d, ok1_d)
+        for a in small:
+            try:
+                a.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        from .local_mapping import watch_ready
+
+        # next dispatch chains off this one — no host involvement
+        self._chain = dict(
+            fid=frame.frame_id,
+            carry=dict(
+                uv=feats.dev("uv_und"), bits=feats.dev("desc_bits"),
+                size=feats.dev("size"), angle=feats.dev("angle"),
+                match_pt=pt_d, match_pos=pos_d,
+            ),
+            pose=pose_d, prev=chain["pose"],
         )
+        perfcount.bump("track_dispatches")
+        perfcount.bump("t_dispatch_s", _time.perf_counter() - t0)
+        return dict(
+            frame=frame, small=small, ready=watch_ready(small),
+            blk_ids_np=fs["blk_ids_np"], blk_valid_np=fs["blk_valid_np"],
+        )
+
+    def _fast_retire(self, rec, pipelined: bool) -> bool:
+        """Consume a dispatched frame's results: host bookkeeping, and (in
+        pipelined mode) the velocity/trajectory updates + keyframe
+        decision that the sequential path performs in _track."""
+        from anyfeature_vslam_tpu import perfcount
+        import time as _time
+
+        cfg = self.cfg
+        m = self.map
+        frame = rec["frame"]
+        t0 = _time.perf_counter()
+        rec["ready"].wait()
+        with perfcount.timed_fetch():
+            pose_np, pt_np, n_in, vis_np, ok1 = jax.device_get(rec["small"])
+        t1 = _time.perf_counter()
+        perfcount.bump("t_retire_wait_s", t1 - t0)
+        n_in = int(n_in)
         if not bool(ok1):
             # both branches failed: tracking lost (reference Track()
-            # :293-316). Invalidate the carry so a relocalized restart
-            # rebuilds it from host truth.
-            fs["carry"] = None
+            # :293-316). Break the chain so a restart reseeds from host
+            # truth.
+            self._chain = None
             self._dbg("fast: stage-1 failed")
+            perfcount.bump("fast_fail_stage1")
+            perfcount.bump("t_retire_s", _time.perf_counter() - t0)
             return False
-        n_in = int(n_in)
         # device_get returns read-only buffer-backed arrays; downstream
         # bookkeeping mutates matches in place, so copy
         frame.pose = np.array(pose_np, np.float32)
-        frame.matches = np.array(pt_np, np.int32)
+        matches = np.array(pt_np, np.int32)
+        frame.matches = matches
         self.n_inliers = n_in
         self._n_map_inliers = n_in
-        vis_ids = fs["blk_ids_np"][vis_np & fs["blk_valid_np"]]
+        vis_ids = rec["blk_ids_np"][vis_np & rec["blk_valid_np"]]
         m.pt_visible[vis_ids] += 1
-        found = frame.matches[frame.matches >= 0]
+        found = matches[matches >= 0]
         m.pt_found[found] += 1
-        # next frame's carry comes straight off this dispatch — no upload
-        fs["carry"] = dict(
-            uv=feats.dev("uv_und"), bits=feats.dev("desc_bits"),
-            size=feats.dev("size"), angle=feats.dev("angle"),
-            match_pt=pt_d, match_pos=pos_d,
-        )
-        fs["carry_fid"] = frame.frame_id
-        self._update_ref_kf_from_matches(frame.matches)
+        # the reference-KF refresh is a (K, N) scan; every other frame is
+        # plenty (the anchor only needs SOME live covisible keyframe, and
+        # minting overrides it anyway)
+        if frame.frame_id % 2 == 0:
+            self._update_ref_kf_from_matches(matches)
         self._dbg(f"fast: {len(found)} matches -> {n_in} inliers")
-        return n_in >= cfg.min_local_inliers
+        ok = n_in >= cfg.min_local_inliers
+        if not ok:
+            perfcount.bump("fast_fail_inliers")
+            self._chain = None
+        elif pipelined:
+            # the tail of _track, performed at retire time
+            if self.last is not None and self.last.pose is not None:
+                self.velocity = frame.pose @ np.linalg.inv(self.last.pose)
+            self.last = frame
+            self._finish_frame(frame)
+            if not self.only_tracking and self._need_new_keyframe(frame):
+                self._resolve_stale_matches(frame.matches)
+                self._create_new_keyframe(frame)
+        perfcount.bump("t_retire_s", _time.perf_counter() - t0)
+        return ok
+
+    def _resolve_stale_matches(self, matches):
+        """Resolve points merged/culled by mapping since the dispatch, in
+        place (reference CheckReplacedInLastFrame, src/Tracking.cc:601-617).
+        Applied before a keyframe snapshots the matches; ordinary frames
+        skip it (a stale id only nudges a visibility counter)."""
+        m = self.map
+        sel = np.nonzero(matches >= 0)[0]
+        if len(sel) == 0:
+            return
+        ids = matches[sel]
+        for _ in range(4):
+            rep = m.pt_replaced[ids]
+            step = rep >= 0
+            if not step.any():
+                break
+            ids = np.where(step, rep, ids)
+        matches[sel] = np.where(m.pt_valid[ids], ids, -1)
 
     def _build_fast_state(self):
         """Device-resident local-map block + reference-KF snapshot, valid
@@ -1083,7 +1318,7 @@ class Tracker:
         )
         return dict(
             rev=m.rev, ref_kf=kf, block=block, ref=ref,
-            blk_ids_np=idx, blk_valid_np=blk_valid, carry=None,
+            blk_ids_np=idx, blk_valid_np=blk_valid,
         )
 
     def _build_fast_carry(self):
@@ -1375,6 +1610,11 @@ class Tracker:
         frame.matches[create] = ids
 
     def _create_new_keyframe(self, frame: FrameData):
+        if isinstance(frame.feats, DeviceFeats):
+            # land every feature field in ONE batched transfer BEFORE
+            # taking the lock: add_keyframe's host snapshot would otherwise
+            # pay two lazy tunnel round trips while holding it
+            frame.feats.fetch_all()
         with self.map_lock:
             kf = self.map.add_keyframe(
                 frame.pose, frame.ts, frame.frame_id, frame.feats,

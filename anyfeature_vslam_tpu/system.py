@@ -35,18 +35,22 @@ class _MappingWorker:
     subsequent frames in wall-clock.
 
     Synchronization model (reference: per-object mutexes + a map-update
-    mutex): structural map mutations are serialized on `lock` — the worker
-    holds it for the whole event, the tracker takes it only to mint a
-    keyframe. The tracker's per-frame compute path reads device-resident
-    SNAPSHOTS (fast-path carry/block), which are immutable by construction;
-    its few host-side reads of live map arrays (observation counts,
-    trajectory anchors, found/visible counters) are lock-free and tolerate
-    the same transient staleness the reference's fine-grained mutexes
-    allow."""
+    mutex): structural map mutations are serialized on the map lock, which
+    the EVENT CODE acquires only around its actual mutation/dispatch
+    windows (LocalMapper.process_keyframe) — never across a device wait —
+    so the tracker's keyframe minting and fast-state rebuilds stall for
+    milliseconds, not a whole event (round 4 held the lock for the full
+    ~210 ms event and the tracker's p90 frame time showed it; the
+    reference avoids the same stall with its interruptible local BA,
+    src/LocalMapping.cc:78,125 + src/Tracking.cc:905-918). The tracker's
+    per-frame compute path reads device-resident SNAPSHOTS (fast-path
+    carry/block), which are immutable by construction; its few host-side
+    reads of live map arrays (observation counts, trajectory anchors,
+    found/visible counters) are lock-free and tolerate the same transient
+    staleness the reference's fine-grained mutexes allow."""
 
-    def __init__(self, event_fn, lock):
+    def __init__(self, event_fn):
         self._event = event_fn
-        self.lock = lock
         self._q: queue.Queue = queue.Queue()
         self._pending = 0
         self._pending_lock = threading.Lock()
@@ -89,8 +93,7 @@ class _MappingWorker:
             if kf is None:
                 return
             try:
-                with self.lock:
-                    self._event(kf)
+                self._event(kf)
             except BaseException as e:  # surfaced on next submit/flush
                 self._error = e
             finally:
@@ -132,6 +135,7 @@ class System:
         depth_map_factor: float = 1.0,
         async_mapping: bool = True,
         threaded_mapping: bool = False,
+        pipeline_depth: int | None = None,
     ):
         from anyfeature_vslam_tpu.frontend.extractor import (
             FEATURE_REGISTRY, ExtractorConfig, descriptor_dim, descriptor_dtype,
@@ -183,10 +187,17 @@ class System:
             desc_dtype=descriptor_dtype(descriptor),
         )
         self.mesh = self._make_mesh(use_mesh)
+        # one RLock serializes every structural map mutation: tracker
+        # keyframe minting, mapping-event mutation windows, loop
+        # correction. Reentrant so nested fold paths work; uncontended in
+        # synchronous mode.
+        self.map_lock = threading.RLock()
         self.tracker = Tracker(cfg, camera, self.map)
+        self.tracker.map_lock = self.map_lock
         self.local_mapper = LocalMapper(
             self.map, camera, match_th=match_th, mesh=self.mesh,
             size_tolerance=scale, sensor=sensor, th_depth=th_depth,
+            lock=self.map_lock,
         )
         self.tracker.on_new_keyframe = self._on_new_keyframe
         self.tracker.mapping_idle = self.local_mapper.is_idle
@@ -204,12 +215,22 @@ class System:
         # the whole keyframe event overlaps tracking in wall-clock. Off by
         # default so tests stay deterministic; the benchmark enables it.
         self.threaded_mapping = threaded_mapping
-        self.map_lock = threading.RLock()
+        # pipelined tracking: dispatch frame i, retire its results
+        # `depth` frames later (slam/tracking.py). Default: depth 2 with a
+        # threaded mapper (the throughput configuration), 0 (sequential,
+        # deterministic) otherwise.
+        if pipeline_depth is None:
+            pipeline_depth = 2 if threaded_mapping else 0
+        self.tracker.pipeline_depth = int(pipeline_depth)
         self._worker = None
         if threaded_mapping:
-            self._worker = _MappingWorker(self._mapping_event, self.map_lock)
-            self.tracker.map_lock = self.map_lock
-            self.tracker.mapping_idle = self._worker.idle
+            self._worker = _MappingWorker(self._mapping_event)
+            # mapping is busy while the worker runs an event OR a deferred
+            # BA fold is still outstanding (the reference's
+            # AcceptKeyFrames gate covers both states the same way)
+            self.tracker.mapping_idle = (
+                lambda: self._worker.idle() and self.local_mapper.is_idle()
+            )
             # a running worker event cannot be aborted mid-flight; the
             # keyframe simply lands when the worker goes idle (the
             # reference's interrupted BA achieves the same one-frame delay)
@@ -285,9 +306,12 @@ class System:
 
     def _register_deferred_fold(self, fold):
         """Park a deferred device-side solve (loop-closure GBA) in the local
-        mapper's pending slot; it lands before the next map mutation."""
+        mapper's pending slot; a watcher thread lands it under the map lock
+        as soon as the solve finishes (reference detached-GBA-thread
+        semantics, src/LoopClosing.cc:589-593)."""
         self.local_mapper.fold_pending()
         self.local_mapper._pending_fold = fold
+        self.local_mapper.arm_fold_watcher()
 
     def _maybe_train_vocabulary(self):
         """Train a vocabulary from accumulated keyframe descriptors once
@@ -336,23 +360,32 @@ class System:
             kf, defer_ba=defer, overlap_results=self._worker is not None
         )
         if self._worker is not None:
-            # land the BA fold INSIDE the event (the solve overlapped the
-            # event's fusion fetch + host stages on device; the fold costs
-            # one ~RTT batched fetch) — the map is settled whenever the
-            # worker goes idle, which keeps every tracker-side decision
-            # consistent (fully deferred folds produced keyframes anchored
-            # to pre-fold trajectories and measurably corrupted ATE)
-            self.local_mapper.fold_pending()
+            # the BA fold lands from a watcher thread the moment the solve
+            # finishes (under the map lock) — the event neither blocks on
+            # the solve nor leaves the results un-folded a whole keyframe
+            # (which anchored keyframes to pre-fold trajectories and
+            # measurably corrupted ATE). mapping_idle() reports busy until
+            # the fold has actually landed, keeping the c1b gate honest.
+            self.local_mapper.arm_fold_watcher()
         self.mapping_times.append(time.perf_counter() - t0)
-        self._maybe_train_vocabulary()
+        with self.map_lock:
+            self._maybe_train_vocabulary()
         if self.loop_closer is not None:
             t1 = time.perf_counter()
-            self.loop_closer.process_keyframe(
-                kf, pre_mutate=self.local_mapper.flush_results
-            )
+            # the loop stage mutates the database and (on a closure) the
+            # whole map; a steady-state stage is ~15 ms so the lock window
+            # is short, and a real correction is allowed to stop the world
+            # exactly as the reference does (LoopClosing.cc:424-445)
+            with self.map_lock:
+                self.loop_closer.process_keyframe(
+                    kf, pre_mutate=self.local_mapper.flush_results
+                )
             self.loop_times.append(time.perf_counter() - t1)
         elif self.database is not None:
-            self.database.add(kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf])
+            with self.map_lock:
+                self.database.add(
+                    kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
+                )
 
     def track_monocular(
         self, img: np.ndarray, ts: float, image_path: str | None = None
@@ -448,12 +481,12 @@ class System:
     def reset(self):
         """Clear map, database and tracking state (reference System::Reset ->
         Tracking::Reset, src/Tracking.cc:1311-1356)."""
+        self.tracker._inflight.clear()  # stale speculative frames: drop
         if self._worker is not None:
             self._worker.flush()
-        self.local_mapper._pending_fold = None  # stale results: drop, not fold
-        self.local_mapper._pending_tri = None
-        self.local_mapper._pending_fuse = None
-        self.tracker._reset()
+        with self.map_lock:
+            self.local_mapper._pending_fold = None  # stale: drop, not fold
+            self.tracker._reset()
         if self.database is not None:
             self.database = None
             self.loop_closer = None
@@ -467,21 +500,25 @@ class System:
         local-BA fold and blocks until device work is drained."""
         import jax
 
+        self.tracker.flush_pipeline()
         if self._worker is not None:
             self._worker.stop()
             self._worker = None
-        self.local_mapper.flush_results()
-        if self.loop_closer is not None:
-            self.loop_closer.flush_bow()
+        with self.map_lock:
+            self.local_mapper.flush_results()
+            if self.loop_closer is not None:
+                self.loop_closer.flush_bow()
         (jax.device_put(0.0) + 0).block_until_ready()
 
     # ------------------------------------------------------------- output
     def save_outputs(self, out_dir: str, exp_id: str = "exp"):
+        self.tracker.flush_pipeline()
         if self._worker is not None:
             self._worker.flush()
-        self.local_mapper.flush_results()
-        if self.loop_closer is not None:
-            self.loop_closer.flush_bow()
+        with self.map_lock:
+            self.local_mapper.flush_results()
+            if self.loop_closer is not None:
+                self.loop_closer.flush_bow()
         os.makedirs(out_dir, exist_ok=True)
         kf_csv = os.path.join(out_dir, f"{exp_id}_KeyFrameTrajectory.csv")
         trajectory.save_keyframe_trajectory_vslamlab(kf_csv, self.map)
@@ -532,11 +569,13 @@ class System:
 
     def save_checkpoint(self, path: str):
         """Persist the full map state (see SlamMap.save)."""
+        self.tracker.flush_pipeline()
         if self._worker is not None:
             self._worker.flush()
-        self.local_mapper.flush_results()
-        if self.loop_closer is not None:
-            self.loop_closer.flush_bow()
+        with self.map_lock:
+            self.local_mapper.flush_results()
+            if self.loop_closer is not None:
+                self.loop_closer.flush_bow()
         self.map.save(path)
 
     def load_checkpoint(self, path: str):
