@@ -139,7 +139,12 @@ class KeyFrameDatabase:
         best_acc = max(a for a, _ in acc_best)
         th = 0.75 * best_acc
         out, seen = [], set()
-        for acc, kf in acc_best:
+        # highest accumulated score first: relocalization truncates to a
+        # fixed candidate capacity, so slot order could drop the best
+        # match (the reference iterates ALL candidates round-robin,
+        # src/Tracking.cc:1146-1309; ordering by score preserves the top
+        # ones under our fixed-capacity batching)
+        for acc, kf in sorted(acc_best, key=lambda x: -x[0]):
             if acc > th and kf not in seen:
                 seen.add(kf)
                 out.append(kf)

@@ -157,8 +157,8 @@ def run_bundle_adjustment(
     # steps per axis keeps a steady run at ZERO new programs after warmup
     # while padding waste stays bounded.
     k_cap = _pad_sched(len(kf_list), (4, 64, 1024))
-    p_cap = _pad_sched(len(pt_ids), (256, 4096, 65536))
-    o_cap = _pad_sched(n_obs, (1024, 16384, 65536, 262144))
+    p_cap = _pad_sched(len(pt_ids), (256, 2048, 8192, 65536))
+    o_cap = _pad_sched(n_obs, (1024, 8192, 32768, 262144))
 
     poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
     poses[: len(kf_list)] = slam_map.kf_pose[kf_list]
@@ -229,6 +229,7 @@ def run_bundle_adjustment(
         # guard against points culled/recycled between dispatch and fold
         still = slam_map.pt_valid[pt_ids]
         slam_map.pt_pos[pt_ids[still]] = np_pts[: len(pt_ids)][still]
+        slam_map.mark_points_dirty(pt_ids[still])
         if remove_outliers:
             for i in np.nonzero(outlier)[0]:
                 kf = kf_list[obs_kf[i]]
@@ -278,6 +279,11 @@ class LocalMapper:
         # reference gets the same property from its interruptible local BA
         # + per-object mutexes, src/LocalMapping.cc:78,125).
         self.lock = lock if lock is not None else threading.RLock()
+        # True while the event is between recent-point culling and the
+        # triangulation/fusion folds: the map is temporarily SPARSE there,
+        # and a tracker snapshot built in that window starves matching
+        # for several frames (the tracker's rebuild deadline checks this)
+        self.in_sparse_phase = False
         # recent points: pt_id -> kf count at creation (for culling)
         self.recent: dict[int, int] = {}
         self.n_kf_processed = 0
@@ -460,6 +466,7 @@ class LocalMapper:
                 if w[best] > 0:
                     self.map.kf_parent[kf] = best
             self._cull_recent_points()
+            self.in_sparse_phase = True
         t = mark("stats+cullpts", t)
         if self.map.n_keyframes() >= 2:
             if overlap_results:
@@ -486,6 +493,7 @@ class LocalMapper:
                 if rec_f is not None:
                     with self.lock:
                         self._fold_fuse(rec_f)
+                self.in_sparse_phase = False
                 t = mark("fuse", t)
             else:
                 with self.lock:
@@ -496,9 +504,11 @@ class LocalMapper:
                     rec = self._dispatch_fuse(kf)
                     if rec is not None:
                         self._fold_fuse(rec)
+                    self.in_sparse_phase = False
                     t = mark("fuse", t)
             self._local_ba(kf, defer=defer_ba)
             t = mark("ba_dispatch", t)
+        self.in_sparse_phase = False
         with self.lock:
             self._cull_keyframes(kf)
         mark("cullkfs", t)
@@ -579,6 +589,11 @@ class LocalMapper:
             dm = m.kf_matches[targets[ti]]
             has_t[ti, dm[dm >= 0]] = True
 
+        # both directions gather their point rows ON DEVICE from the map
+        # mirror — only id/mask arrays cross the tunnel (the direction-B
+        # descriptor gather alone was ~16 MB of host upload per event
+        # before; now it is a ~400 KB id array)
+        mirror = m.mirror()
         res_a = None
         idx_a = None
         if len(pt_ids):
@@ -586,13 +601,9 @@ class LocalMapper:
             idx_a[: len(pt_ids)] = pt_ids
             valid_t = np.zeros((t_cap, n), bool)
             valid_t[:n_t, : len(pt_ids)] = ~has_t[:, pt_ids]
+            ga = mirror.gather(idx_a.astype(np.int32))
             ia, va = frame_ops.fuse_points_into_targets(
-                jnp.asarray(m.pt_pos[idx_a]), jnp.asarray(m.pt_normal[idx_a]),
-                jnp.asarray(m.pt_min_dist[idx_a]),
-                jnp.asarray(m.pt_max_dist[idx_a]),
-                jnp.asarray(m.pt_ref_size[idx_a]),
-                jnp.asarray(m.pt_ref_dist[idx_a]),
-                jnp.asarray(m.pt_desc_bits[idx_a]), jnp.asarray(valid_t),
+                *ga[:7], jnp.asarray(valid_t),
                 jnp.asarray(poses),
                 dev["uv"], dev["bits"], dev["size"], dev["valid"],
                 *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
@@ -610,11 +621,9 @@ class LocalMapper:
             pts = pts[m.pt_valid[pts] & ~kf_has[pts]][:n]
             idx_b[ti, : len(pts)] = pts
             valid_b[ti, : len(pts)] = True
+        gb = mirror.gather(idx_b.astype(np.int32))
         ib, vb = frame_ops.fuse_target_points_into_kf(
-            jnp.asarray(m.pt_pos[idx_b]), jnp.asarray(m.pt_normal[idx_b]),
-            jnp.asarray(m.pt_min_dist[idx_b]), jnp.asarray(m.pt_max_dist[idx_b]),
-            jnp.asarray(m.pt_ref_size[idx_b]), jnp.asarray(m.pt_ref_dist[idx_b]),
-            jnp.asarray(m.pt_desc_bits[idx_b]), jnp.asarray(valid_b),
+            *gb[:7], jnp.asarray(valid_b),
             jnp.asarray(m.kf_pose[kf]),
             kf_dev["uv"], kf_dev["bits"], kf_dev["size"], kf_dev["valid"],
             *cam_f, bounds_lo, bounds_hi, 3.0, self.match_th,
@@ -701,6 +710,9 @@ class LocalMapper:
                 fuse_one(kf, pt, slot)
         if merge_pairs:
             keeps, drops = _resolve_merge_chains(merge_pairs)
+            from anyfeature_vslam_tpu import perfcount
+
+            perfcount.bump("fuse_points_merged", len(drops))
             m.merge_points(keeps, drops)
         mm = m.kf_matches[kf]
         m.update_point_stats(np.unique(mm[mm >= 0]))
@@ -727,6 +739,9 @@ class LocalMapper:
             elif age >= 3:
                 done.append(pt)
         if to_cull:
+            from anyfeature_vslam_tpu import perfcount
+
+            perfcount.bump("recent_points_culled", len(to_cull))
             self.map.remove_points(np.asarray(to_cull))
         for pt in to_cull + done:
             self.recent.pop(pt, None)
@@ -846,6 +861,9 @@ class LocalMapper:
         ids = m.add_points(
             new_pts, m.kf_desc_bits[kf][slots1], kf, m.kf_size[kf][slots1]
         )
+        from anyfeature_vslam_tpu import perfcount
+
+        perfcount.bump("tri_points_added", len(ids))
         m.kf_matches[kf][slots1] = ids
         m.kf_matches[tgt, slots2] = ids
         for p in ids:

@@ -36,6 +36,29 @@ PROJ_GATE_RADIUS = 10.0   # reference LoopClosing.cc:393 (SearchByProjection th)
 FUSE_RADIUS = 4.0         # reference LoopClosing.cc:617 (SearchAndFuse th)
 
 
+
+def _pad_pairs(arrays, n, schedule=(64, 256, 1024)):
+    """Pad per-pair arrays to a coarse bucket with a valid mask: the sim3
+    solvers are jit programs, and calling them at the EXACT pair count
+    compiles a fresh XLA program per loop attempt (measured as multi-
+    second stalls the first time a loop fires in a process)."""
+    cap = schedule[-1]
+    for c in schedule:
+        if n <= c:
+            cap = c
+            break
+    while cap < n:
+        cap *= 2
+    out = []
+    for a in arrays:
+        pad = np.zeros((cap,) + a.shape[1:], a.dtype)
+        pad[:n] = a
+        out.append(pad)
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return out, valid
+
+
 class LoopCloser:
     def __init__(self, slam_map, cam, database, match_th: float = 75.0,
                  seed: int = 0, mesh=None):
@@ -228,13 +251,18 @@ class LoopCloser:
         s2_2 = 1.0 / np.clip(m.kf_inv_sigma2[cand][sl2], 1e-9, None)
 
         n = len(sl1)
+        (p1, p2, u1, u2, w1, w2), vmask = _pad_pairs(
+            [pc1.astype(np.float32), pc2.astype(np.float32),
+             uv1.astype(np.float32), uv2.astype(np.float32),
+             s2_1.astype(np.float32), s2_2.astype(np.float32)], n
+        )
         out = {
             k: np.asarray(v)
             for k, v in sim3_ops.sim3_ransac(
-                jnp.asarray(pc1.astype(np.float32)), jnp.asarray(pc2.astype(np.float32)),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(s2_1.astype(np.float32)), jnp.asarray(s2_2.astype(np.float32)),
-                jnp.asarray(np.ones(n, bool)),
+                jnp.asarray(p1), jnp.asarray(p2),
+                jnp.asarray(u1), jnp.asarray(u2),
+                jnp.asarray(w1), jnp.asarray(w2),
+                jnp.asarray(vmask),
                 float(self.cam.fx), float(self.cam.fy),
                 float(self.cam.cx), float(self.cam.cy),
                 self.seed, fix_scale=False,
@@ -270,15 +298,20 @@ class LoopCloser:
         # LM refinement of the RANSAC Sim3 over all pairs (reference
         # Optimizer::OptimizeSim3 with th2=10, src/Optimizer.cc:1033-1226;
         # accepted at >= 20 inliers, LoopClosing.cc:352-359)
+        (p1, p2, u1, u2, iw1, iw2), vmask = _pad_pairs(
+            [pc1.astype(np.float32), pc2.astype(np.float32),
+             uv1.astype(np.float32), uv2.astype(np.float32),
+             (1.0 / s2_1).astype(np.float32), (1.0 / s2_2).astype(np.float32)],
+            n,
+        )
         ref = {
             k: np.asarray(v)
             for k, v in sim3_ops.sim3_optimize(
                 out["r"], out["t"], float(out["s"]),
-                jnp.asarray(pc1.astype(np.float32)), jnp.asarray(pc2.astype(np.float32)),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray((1.0 / s2_1).astype(np.float32)),
-                jnp.asarray((1.0 / s2_2).astype(np.float32)),
-                jnp.asarray(np.ones(n, bool)),
+                jnp.asarray(p1), jnp.asarray(p2),
+                jnp.asarray(u1), jnp.asarray(u2),
+                jnp.asarray(iw1), jnp.asarray(iw2),
+                jnp.asarray(vmask),
                 float(self.cam.fx), float(self.cam.fy),
                 float(self.cam.cx), float(self.cam.cy),
             ).items()
@@ -309,8 +342,8 @@ class LoopCloser:
         )
         # distinct current-KF slots matched to a loop point, merged with
         # the Sim3 inlier pairs
-        matched = dict(zip(sl1[ref["inliers"]].tolist(),
-                           pt2[ref["inliers"]].tolist()))
+        inl = np.asarray(ref["inliers"])[:n]
+        matched = dict(zip(sl1[inl].tolist(), pt2[inl].tolist()))
         for s_, p_ in zip(slots_gate.tolist(), pts_gate.tolist()):
             matched.setdefault(s_, p_)
         if len(matched) < MIN_TOTAL_MATCHES:
@@ -371,11 +404,14 @@ class LoopCloser:
         idx = np.concatenate([pt_ids, np.zeros(bucket - len(pt_ids), np.int64)])
         uv, pred, vis = self._project_sim3(idx, s_cw)
         vis[len(pt_ids):] = False
+        # descriptors gathered on device from the map mirror (only the id
+        # array crosses the tunnel)
+        desc_dev = m.mirror().gather(idx.astype(np.int32))[6]
         res = {
             k: np.asarray(v)
             for k, v in frame_ops.match_loop_projection(
                 jnp.asarray(uv), jnp.asarray(pred),
-                jnp.asarray(m.pt_desc_bits[idx]), jnp.asarray(vis),
+                desc_dev, jnp.asarray(vis),
                 jnp.asarray(m.kf_uv[kf]), jnp.asarray(m.kf_desc_bits[kf]),
                 jnp.asarray(m.kf_size[kf]), jnp.asarray(m.kf_feat_valid[kf]),
                 float(radius), self.match_th,
@@ -489,6 +525,7 @@ class LoopCloser:
             x = m.pt_pos[pts]
             x_cam = _apply(s_iw_old, x)
             m.pt_pos[pts] = _apply(_inv(s_corr), x_cam)
+            m.mark_points_dirty(pts)
 
         # write corrected SE3 poses: T = [R, t/s]
         for i, (ri, ti, si) in corrected.items():
@@ -582,11 +619,34 @@ class LoopCloser:
         pre_poses: every keyframe's pose immediately BEFORE the fold wrote
         the GBA results (the 'old' side of both formulas)."""
         m = self.map
-        new_kfs = [
+        pending = {
             int(s) for s in m.keyframe_ids()
             if int(m.kf_uid[s]) not in uid_in_solve
-        ]
-        for s in sorted(new_kfs, key=lambda s: int(m.kf_uid[s])):
+        }
+        # walk children-of-corrected keyframes iteratively (the reference
+        # BFS-walks the spanning tree from the root,
+        # src/LoopClosing.cc:683-744): KF-culling re-parenting can give a
+        # child a LARGER-uid parent, so uid order could correct a child
+        # against a parent that has not moved yet
+        progress = True
+        while pending and progress:
+            progress = False
+            for s in sorted(pending, key=lambda x: int(m.kf_uid[x])):
+                p = int(m.kf_parent[s])
+                if p < 0 or not m.kf_valid[p] or p == s:
+                    pending.discard(s)  # rootless: nothing to anchor to
+                    progress = True
+                    break
+                if p in pending:
+                    continue  # parent not corrected yet; revisit
+                t_rel = pre_poses[s] @ np.linalg.inv(pre_poses[p])
+                m.kf_pose[s] = (t_rel @ m.kf_pose[p]).astype(np.float32)
+                pending.discard(s)
+                progress = True
+                break
+        # parent cycles among mid-solve keyframes (possible only through
+        # pathological re-parenting): fall back to uid order
+        for s in sorted(pending, key=lambda x: int(m.kf_uid[x])):
             p = int(m.kf_parent[s])
             if p < 0 or not m.kf_valid[p] or p == s:
                 continue
@@ -609,6 +669,7 @@ class LoopCloser:
             m.pt_pos[sel] = (
                 (x_cam - t_new[:3, 3]) @ t_new[:3, :3]
             ).astype(np.float32)
+            m.mark_points_dirty(sel)
 
     def _search_and_fuse(self, corrected: dict):
         """Project every loop-side map point into each corrected keyframe
@@ -706,13 +767,26 @@ class LoopCloser:
                 if j > i:
                     add_edge(int(j), int(i), pre_poses)
 
+        # edge arrays padded to a coarse bucket (exact edge counts would
+        # compile a fresh pose-graph program per loop closure)
         e = len(edges)
-        ei = np.array([x[0] for x in edges], np.int32)
-        ej = np.array([x[1] for x in edges], np.int32)
-        er = np.stack([x[2][0] for x in edges]).astype(np.float32)
-        et = np.stack([x[2][1] for x in edges]).astype(np.float32)
-        es = np.array([x[2][2] for x in edges], np.float32)
-        ew = np.array([x[3] for x in edges], np.float32)
+        e_cap = 64
+        while e_cap < e:
+            e_cap *= 4
+        ei = np.zeros(e_cap, np.int32)
+        ej = np.zeros(e_cap, np.int32)
+        er = np.tile(np.eye(3, dtype=np.float32), (e_cap, 1, 1))
+        et = np.zeros((e_cap, 3), np.float32)
+        es = np.ones(e_cap, np.float32)
+        ew = np.zeros(e_cap, np.float32)
+        evalid = np.zeros(e_cap, bool)
+        ei[:e] = [x[0] for x in edges]
+        ej[:e] = [x[1] for x in edges]
+        er[:e] = np.stack([x[2][0] for x in edges]).astype(np.float32)
+        et[:e] = np.stack([x[2][1] for x in edges]).astype(np.float32)
+        es[:e] = [x[2][2] for x in edges]
+        ew[:e] = [x[3] for x in edges]
+        evalid[:e] = True
 
         valid = np.zeros(k_cap, bool)
         valid[kf_ids] = True
@@ -724,7 +798,7 @@ class LoopCloser:
             jnp.asarray(valid), jnp.asarray(fixed),
             jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(er), jnp.asarray(et), jnp.asarray(es),
-            jnp.asarray(ew), jnp.asarray(np.ones(e, bool)),
+            jnp.asarray(ew), jnp.asarray(evalid),
         )
         r2, t2, s2 = np.asarray(r2), np.asarray(t2), np.asarray(s2)
 
@@ -739,6 +813,7 @@ class LoopCloser:
             if len(pts):
                 x_cam = _apply(s_old, m.pt_pos[pts])
                 m.pt_pos[pts] = _apply(_inv(s_new), x_cam)
+                m.mark_points_dirty(pts)
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = r2[i]
             pose[:3, 3] = t2[i] / s2[i]

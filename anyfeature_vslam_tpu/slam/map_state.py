@@ -104,6 +104,25 @@ class SlamMap:
         # geometry or structure; device-side caches key on it
         self.rev = 0
         self._obs_counts_cache = None
+        # device-mirror bookkeeping: per-point dirty flags consumed by
+        # slam.device_map.DevicePointMirror.sync(); mutators mark AFTER
+        # writing so a lock-free sync can never lose an update
+        self.pt_dirty = np.zeros(p, bool)
+        self._mirror = None
+
+    def mirror(self):
+        """The lazily-created device-resident point mirror (see
+        slam/device_map.py)."""
+        if self._mirror is None:
+            from .device_map import DevicePointMirror
+
+            self._mirror = DevicePointMirror(self)
+        return self._mirror
+
+    def mark_points_dirty(self, ids):
+        """Record that these points' SoA rows changed (call after the
+        write)."""
+        self.pt_dirty[ids] = True
 
     # ---------------------------------------------------------- checkpoint
     _SCALARS = (
@@ -232,6 +251,8 @@ class SlamMap:
                                       constant_values=1.0)
             self.pt_ref_dist = np.pad(self.pt_ref_dist, (0, grow),
                                       constant_values=1.0)
+            self.pt_dirty = np.pad(self.pt_dirty, (0, grow))
+            self._mirror = None  # capacity changed: full re-upload
 
     def add_keyframe(self, pose, ts, frame_id, feats, matches) -> int:
         """feats: dict of numpy arrays from the frontend (+ uv_und)."""
@@ -369,6 +390,7 @@ class SlamMap:
         self.pt_first_kf[ids] = ref_kf if first_kf is None else first_kf
         self.pt_visible[ids] = 1
         self.pt_found[ids] = 1
+        self.pt_dirty[ids] = True
         return ids
 
     def remove_points(self, ids):
@@ -378,6 +400,7 @@ class SlamMap:
             return
         self.pt_valid[ids] = False
         self.pt_freed_rev[ids] = self.rev
+        self.pt_dirty[ids] = True
         # erase observations (vectorized over the whole match table)
         drop = np.zeros(self.max_pt, bool)
         drop[ids] = True
@@ -418,6 +441,7 @@ class SlamMap:
         self.pt_valid[drop_arr] = False
         self.pt_freed_rev[drop_arr] = self.rev
         self.pt_replaced[drop_arr] = keep_arr
+        self.pt_dirty[drop_arr] = True
 
     # ----------------------------------------------------------- structure
     def observations_of_points(self, pt_ids):
@@ -531,6 +555,10 @@ class SlamMap:
             self.pt_desc_bits, self.pt_normal, self.pt_ref_size,
             self.pt_ref_dist, self.pt_min_dist, self.pt_max_dist,
         ):
+            # mark AFTER the write: a concurrent mirror sync that clears
+            # the flag before the write would otherwise leave the mirror
+            # permanently stale for these rows
+            self.pt_dirty[pt_ids] = True
             return
         # numpy fallback (native toolchain unavailable)
         obs_kf, obs_slot, obs_pt = self.observations_of_points(pt_ids)
@@ -578,3 +606,4 @@ class SlamMap:
             max_size = 1.2 ** 7
             self.pt_max_dist[p] = 1.2 * dist * size
             self.pt_min_dist[p] = 0.8 * dist * size / max_size
+        self.pt_dirty[pt_ids] = True

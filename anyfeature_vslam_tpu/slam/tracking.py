@@ -270,6 +270,7 @@ class Tracker:
         # new, and bounded by `depth` frames).
         self.pipeline_depth = 0
         self._fs_built_fid = -(10 ** 9)
+        self._weak_streak = 0
         self._dev_consts = None
         from collections import deque
 
@@ -302,6 +303,10 @@ class Tracker:
         # mapping-idle probe for the keyframe decision's c1b (reference
         # LocalMapping::AcceptKeyFrames); System wires LocalMapper.is_idle
         self.mapping_idle = lambda: True
+        # True when the map is NOT mid-event in its sparse phase (recent
+        # points culled, new ones not yet folded); System wires the
+        # LocalMapper flag — gates the snapshot-rebuild deadline
+        self.snapshot_safe = lambda: True
         # BA-interrupt hook (reference Tracking.cc:905-918 InterruptBA):
         # when a keyframe is wanted but mapping is busy, land the running
         # solve so the next frame finds mapping idle. System wires
@@ -537,24 +542,24 @@ class Tracker:
         also fails the retry takes the normal LOST path inside
         _run_state_machine."""
         self._chain = None
-        self._fast_state = None  # the stale snapshot likely caused this
+        self._weak_streak = 0
+        if self._fast_state is not None:
+            # force a refresh, but THROUGH the gated path (an immediate
+            # rebuild here could capture the map mid-event in its sparse
+            # phase — the very state that causes these failures)
+            self._fast_state["rev"] = -(10 ** 9)
         pending = [frame] + [rec["frame"] for rec in self._inflight]
         self._inflight.clear()
         self._draining = True
-        # retry through the STAGED path: the fused program already failed
-        # on this data, and the staged path's fresh local-map candidate
-        # set + per-stage fallbacks succeed where the fused snapshot
-        # could not (motion-model -> ref-KF -> local map, reference
-        # Track() :293-316)
-        old_fast = self.use_fast_path
-        self.use_fast_path = False
+        # the replay goes through _track, which retries the fused path
+        # with a FRESHLY rebuilt snapshot first (one dispatch) and only
+        # falls back to the staged per-stage path if that fails again
         try:
             for f in pending:
                 f.pose = None
                 f.matches = None
                 self._run_state_machine(f, None)
         finally:
-            self.use_fast_path = old_fast
             self._draining = False
 
     def _reset(self):
@@ -769,20 +774,29 @@ class Tracker:
         self._check_replaced_in_last_frame()
         if not self.only_tracking:
             fast = self._try_fast_track(frame, img)
-            if fast is not None:
-                if not fast:
-                    return False
-            else:
-                if frame.feats is None:  # deferred extraction, fast path N/A
+            if fast is None or not fast:
+                from anyfeature_vslam_tpu import perfcount
+                import time as _time
+
+                _t0 = _time.perf_counter()
+                # fast path unavailable OR its speculative snapshot failed:
+                # run the staged path — its fresh local-map candidate set
+                # and per-stage fallbacks (motion -> ref-KF -> local map,
+                # reference Track() :293-316) recover most fused-snapshot
+                # failures without a LOST->relocalization excursion
+                if frame.feats is None:  # deferred extraction, fast N/A
                     frame.feats = self._extract(img, init=False)
+                frame.pose = None
+                frame.matches = None
                 ok = False
                 if self.velocity is not None and frame.frame_id >= self.last_reloc_frame_id + 2:
                     ok = self._track_motion_model(frame)
                 if not ok:
                     ok = self._track_reference_kf(frame)
-                if not ok:
-                    return False
-                ok = self._track_local_map(frame)
+                if ok:
+                    ok = self._track_local_map(frame)
+                perfcount.bump("t_staged_s", _time.perf_counter() - _t0)
+                perfcount.bump("staged_frames")
                 if not ok:
                     return False
         else:
@@ -1095,19 +1109,21 @@ class Tracker:
             )
         fs = self._fast_state
         if fs is None or fs["rev"] != m.rev:
-            # refresh the device-resident snapshot when the map mutated.
-            # The rebuild takes the map lock (mutation windows are short
-            # now), so it no longer needs to wait for mapping to go fully
-            # idle — round 4's idle-only refresh let the snapshot go tens
-            # of frames stale during long mapping events, decaying the
-            # match count until tracking was lost. But a rebuild costs a
-            # ~MB block upload + host gathers, so while mapping is busy it
-            # only triggers ADAPTIVELY: when the inlier count shows real
-            # decay, or at a long staleness deadline.
+            # refresh the device-resident snapshot when the map mutated —
+            # preferably at an EVENT BOUNDARY (mapping idle): a mid-event
+            # map is in its sparse phase (recent points culled, this
+            # event's triangulation/fusion not yet folded), and a block
+            # built then starves the tracker for several frames (measured
+            # as periodic inlier collapses). The escape hatch rebuilds
+            # mid-event anyway when the inlier count shows real decay —
+            # a sparse block beats a decayed one.
+            age = frame.frame_id - self._fs_built_fid
             if (
-                fs is None or self.mapping_idle()
-                or self.n_inliers < 50
-                or frame.frame_id - self._fs_built_fid >= 8
+                fs is None
+                or (age >= 3
+                    and (self.mapping_idle()
+                         or (self.snapshot_safe()
+                             and (self.n_inliers < 45 or age >= 10))))
             ):
                 t_fs = _time.perf_counter()
                 with self.map_lock:
@@ -1232,6 +1248,12 @@ class Tracker:
         # bookkeeping mutates matches in place, so copy
         frame.pose = np.array(pose_np, np.float32)
         matches = np.array(pt_np, np.int32)
+        # resolve points merged/culled since dispatch BEFORE the counters:
+        # unresolved ids leak found-bumps onto dead slots, starving the
+        # survivors' found/visible ratio until MapPointCulling erases live
+        # landmarks (reference CheckReplacedInLastFrame runs every frame
+        # for the same reason, src/Tracking.cc:601-617)
+        self._resolve_stale_matches(matches)
         frame.matches = matches
         self.n_inliers = n_in
         self._n_map_inliers = n_in
@@ -1245,9 +1267,33 @@ class Tracker:
         if frame.frame_id % 2 == 0:
             self._update_ref_kf_from_matches(matches)
         self._dbg(f"fast: {len(found)} matches -> {n_in} inliers")
+        # hysteresis band: the reference hard-fails TrackLocalMap below 30
+        # inliers (src/Tracking.cc:829-836), but on feature-sparse spans
+        # the count skates across that line for 1-3 frames and a hard fail
+        # costs a LOST->relocalization excursion (~1 s measured). A frame
+        # in [weak_floor, 30) keeps tracking — its pose LM is still
+        # well-conditioned and the keyframe decision's own >15 gate
+        # (reference Tracking.cc:898) stays in charge of densifying the
+        # map — but three consecutive weak frames fail as the reference
+        # would.
+        weak_floor = max(cfg.kf_min_inliers + 3, 18)
         ok = n_in >= cfg.min_local_inliers
+        if not ok and n_in >= weak_floor and self._weak_streak < 3:
+            self._weak_streak += 1
+            perfcount.bump("weak_frames")
+            ok = True
+        elif ok:
+            self._weak_streak = 0
         if not ok:
             perfcount.bump("fast_fail_inliers")
+            import os as _os
+
+            if _os.environ.get("AF_DEBUG_FAIL"):
+                print(f"[fastfail] frame {frame.frame_id} n_in={n_in} "
+                      f"kfs={self.map.n_keyframes()} "
+                      f"pts={self.map.n_points()} "
+                      f"fs_age={frame.frame_id - self._fs_built_fid}",
+                      file=__import__('sys').stderr, flush=True)
             self._chain = None
         elif pipelined:
             # the tail of _track, performed at retire time
@@ -1256,7 +1302,6 @@ class Tracker:
             self.last = frame
             self._finish_frame(frame)
             if not self.only_tracking and self._need_new_keyframe(frame):
-                self._resolve_stale_matches(frame.matches)
                 self._create_new_keyframe(frame)
         perfcount.bump("t_retire_s", _time.perf_counter() - t0)
         return ok
@@ -1289,19 +1334,16 @@ class Tracker:
         if len(local_pts) == 0:
             return None
         cap = _pad_pow2(len(local_pts), lo=self.cfg.local_pt_bucket)
-        idx = np.zeros(cap, np.int64)
+        idx = np.full(cap, -1, np.int64)
         idx[: len(local_pts)] = local_pts
         blk_valid = np.zeros(cap, bool)
         blk_valid[: len(local_pts)] = m.pt_valid[local_pts]
-        block = tuple(
-            jax.device_put(a)
-            for a in (
-                idx.astype(np.int32), m.pt_pos[idx], m.pt_normal[idx],
-                m.pt_min_dist[idx], m.pt_max_dist[idx],
-                m.pt_ref_size[idx], m.pt_ref_dist[idx],
-                m.pt_desc_bits[idx], blk_valid,
-            )
-        )
+        # the block rows are GATHERED ON DEVICE from the map's point
+        # mirror (slam/device_map.py): the rebuild uploads only the id
+        # array (~16 KB) plus any dirty mirror rows, not the ~1.2 MB of
+        # point data round 4 re-uploaded at every refresh
+        ids_dev = jnp.asarray(idx.astype(np.int32))
+        block = (ids_dev, *m.mirror().gather(ids_dev))
         kf = self.ref_kf
         ref_match = m.kf_matches[kf].astype(np.int32)
         ref_has = (ref_match >= 0) & m.kf_feat_valid[kf]
@@ -1362,8 +1404,15 @@ class Tracker:
         fine."""
         if self.database is None:
             return False
-        with self.map_lock:
-            return self._relocalization_impl(frame)
+        from anyfeature_vslam_tpu import perfcount
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        try:
+            with self.map_lock:
+                return self._relocalization_impl(frame)
+        finally:
+            perfcount.bump("t_reloc_s", _time.perf_counter() - _t0)
 
     def _relocalization_impl(self, frame: FrameData) -> bool:
         from anyfeature_vslam_tpu.ops import pnp as pnp_ops

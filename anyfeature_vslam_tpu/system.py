@@ -231,6 +231,9 @@ class System:
             self.tracker.mapping_idle = (
                 lambda: self._worker.idle() and self.local_mapper.is_idle()
             )
+            self.tracker.snapshot_safe = (
+                lambda: not self.local_mapper.in_sparse_phase
+            )
             # a running worker event cannot be aborted mid-flight; the
             # keyframe simply lands when the worker goes idle (the
             # reference's interrupted BA achieves the same one-frame delay)

@@ -89,6 +89,64 @@ def _ensure_bench_sequence():
     return BENCH_SEQ
 
 
+def _warm_rare_paths(system, seq):
+    """Exercise the rare code paths (relocalization, loop-closing Sim3,
+    essential graph) once on the warm system so their XLA programs are in
+    the process jit cache: the FIRST relocalization of a process otherwise
+    compiles its batched matcher + RANSAC-EPnP mid-run (measured ~20 s),
+    and the first loop closure compiles the Sim3/pose-graph solvers."""
+    import numpy as np
+    from anyfeature_vslam_tpu.io import dataset
+    from anyfeature_vslam_tpu.slam.tracking import TrackState
+
+    tr = system.tracker
+    tr.flush_pipeline()
+    if system._worker is not None:
+        system._worker.flush()
+    # relocalization on a real frame against the warm map
+    if system.map.n_keyframes() >= 2 and system.database is not None:
+        img = dataset.load_gray(seq.image_paths[-1])
+        img8 = np.clip(img, 0, 255).astype(np.uint8)
+        tr.state = TrackState.LOST
+        system.track_monocular(img8, seq.timestamps[-1] + 1.0)
+    # loop-closing Sim3 chain between two covisible keyframes (RANSAC +
+    # SearchBySim3 + LM + projection gate — no correction applied)
+    lc = system.loop_closer
+    kfs = [int(k) for k in system.map.keyframe_ids()]
+    if lc is not None and len(kfs) >= 2:
+        lc._compute_sim3(kfs[-1], kfs[-2])
+        lc._pending_merge = None
+        lc._loop_points = None
+    # essential-graph program at its bucketed shapes
+    import jax
+    import jax.numpy as jnp
+    from anyfeature_vslam_tpu.ops import pose_graph
+
+    k_cap = system.map.max_kf
+    r_all = np.tile(np.eye(3, dtype=np.float32), (k_cap, 1, 1))
+    t_all = np.zeros((k_cap, 3), np.float32)
+    s_all = np.ones(k_cap, np.float32)
+    valid = np.zeros(k_cap, bool)
+    valid[:3] = True
+    fixed = np.zeros(k_cap, bool)
+    fixed[0] = True
+    e_cap = 64
+    out = pose_graph.optimize_pose_graph(
+        jnp.asarray(r_all), jnp.asarray(t_all), jnp.asarray(s_all),
+        jnp.asarray(valid), jnp.asarray(fixed),
+        jnp.asarray(np.zeros(e_cap, np.int32)),
+        jnp.asarray(np.zeros(e_cap, np.int32)),
+        jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (e_cap, 1, 1))),
+        jnp.asarray(np.zeros((e_cap, 3), np.float32)),
+        jnp.asarray(np.ones(e_cap, np.float32)),
+        jnp.asarray(np.zeros(e_cap, np.float32)),
+        jnp.asarray(np.zeros(e_cap, bool)),
+    )
+    jax.block_until_ready(out)
+    print("[bench] rare paths warmed (reloc + sim3 + pose graph)",
+          file=sys.stderr, flush=True)
+
+
 def bench_system(measure: bool = True, n_frames: int | None = None):
     """End-to-end System throughput with an internal deadline. Returns
     (fps, n_frames_done).
@@ -160,23 +218,30 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
         loader.close()
     if not measure:
         try:
+            _warm_rare_paths(system, seq)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] rare-path warm failed: {e!r}", file=sys.stderr,
+                  flush=True)
+        try:
             system.shutdown()
         except Exception:  # noqa: BLE001
             pass
         print(f"[bench] warm pass done: {done} frames, "
               f"{system.map.n_keyframes()} KFs", file=sys.stderr, flush=True)
-        return 0.0, done
+        return 0.0, done, 0, 0.0
     ft = np.asarray(system.frame_times, np.float64)
     if len(ft) == 0:
-        return 0.0, 0
+        return 0.0, 0, 0, 0.0
     steady = ft[WARMUP:] if len(ft) > 2 * WARMUP else ft
     med = float(np.median(steady))
     # honest fps = steady-state THROUGHPUT (frames / wall-clock), not
     # 1/median: the pipelined tracker makes per-frame wall times bimodal
     # (most frames are a cheap dispatch+retire; keyframe-event frames pay
     # the sync cost), and a median would overstate what a user gets
+    window = 0.0
     if t_warm is not None and done > WARMUP and t_end > t_warm:
-        fps = (done - WARMUP) / (t_end - t_warm)
+        window = t_end - t_warm
+        fps = (done - WARMUP) / window
     else:
         fps = 1.0 / med if med > 0 else 0.0
     med_map = (
@@ -220,7 +285,13 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
             f"retire {d.get('t_retire_s', 0.0) / nf * 1e3:.1f} ms "
             f"(wait {d.get('t_retire_wait_s', 0.0) / nf * 1e3:.1f}) per "
             f"frame; fast fails: {d.get('fast_fail_stage1', 0):.0f} stage1, "
-            f"{d.get('fast_fail_inliers', 0):.0f} inliers",
+            f"{d.get('fast_fail_inliers', 0):.0f} inliers; staged "
+            f"{d.get('staged_frames', 0):.0f}/"
+            f"{d.get('t_staged_s', 0.0):.1f}s, reloc "
+            f"{d.get('t_reloc_s', 0.0):.1f}s; points "
+            f"+{d.get('tri_points_added', 0):.0f} tri, "
+            f"-{d.get('recent_points_culled', 0):.0f} culled, "
+            f"-{d.get('fuse_points_merged', 0):.0f} merged",
             file=sys.stderr, flush=True,
         )
     stages = getattr(system.local_mapper, "stage_times", None)
@@ -234,7 +305,7 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
         system.shutdown()  # quiesce watcher threads before interpreter exit
     except Exception:  # noqa: BLE001
         pass
-    return fps, done
+    return fps, done, max(done - WARMUP, 0), window
 
 
 def bench_tracking_scan():
@@ -283,6 +354,94 @@ def bench_tracking_scan():
     )
 
 
+def bench_loop():
+    """Secondary mode (`python bench.py loop`): throughput of a run in
+    which a Sim3 loop closure actually FIRES, so the loop-stage cost
+    includes detection + Sim3 RANSAC/LM + SearchAndFuse + essential graph
+    + the GBA fold at least once (VERDICT r4 item 6). Scenario = the
+    proven two-session merge (tests/test_loop_live.py): session A maps
+    circle A and checkpoints; session B loads it, boots a fresh component
+    in circle B at arbitrary monocular scale, then re-enters A — only the
+    free-scale Sim3 closure chain can merge the components.
+
+    Prints ONE JSON line {"metric": "loop_bench_fps", ..., "loops": L}.
+    """
+    import subprocess
+
+    import numpy as np
+
+    from anyfeature_vslam_tpu import native
+    from anyfeature_vslam_tpu.io import dataset
+    from anyfeature_vslam_tpu.system import System
+
+    n = 360
+    seq_dir = "/tmp/anyfeature_loop_seq_360"
+    if not os.path.exists(os.path.join(seq_dir, "rgb.csv")):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "make_synth_sequence.py"),
+             f"out_dir:{seq_dir}", f"n_frames:{n}", "width:320",
+             "height:240", "trajectory:two_circles_revisit", "seed:3",
+             "texture:distinct"],
+            check=True, capture_output=True, timeout=1200,
+        )
+    import jax
+
+    seq = dataset.load_sequence(seq_dir)
+    na = int(round(0.30 * n))
+    nt1 = int(round(0.07 * n))
+    loader = native.FrameLoader(
+        seq.image_paths, seq.camera.height, seq.camera.width
+    )
+    sys_a = System(seq.camera, feature="orb32", fps=seq.fps, n_features=600)
+    for i in range(na):
+        sys_a.track_monocular(loader.get(i), seq.timestamps[i],
+                              image_path=seq.image_paths[i])
+    ckpt = "/tmp/anyfeature_loop_ckpt.npz"
+    sys_a.save_checkpoint(ckpt)
+    sys_a.shutdown()
+
+    # synchronous mapping: the merge scenario boots a FRESH monocular
+    # component inside a mature loaded map — the proven configuration
+    # (tests/test_loop_live.py); the throughput configuration is measured
+    # by the primary bench
+    sys_b = System(seq.camera, feature="orb32", fps=seq.fps, n_features=600)
+    sys_b.load_checkpoint(ckpt)
+    start = na + nt1
+    t0 = time.perf_counter()
+    for i in range(start, n):
+        sys_b.track_monocular(
+            jax.device_put(loader.get(i)), seq.timestamps[i] + 100.0,
+            image_path=seq.image_paths[i],
+        )
+    sys_b.tracker.flush_pipeline()
+    if sys_b._worker is not None:
+        sys_b._worker.flush()
+    wall = time.perf_counter() - t0
+    loader.close()
+    loops = sys_b.loop_closer.n_loops_closed if sys_b.loop_closer else 0
+    fps = (n - start) / wall
+    print(
+        f"[bench] loop mode: {n - start} frames in {wall:.1f}s, "
+        f"{sys_b.map.n_keyframes()} KFs {sys_b.map.n_points()} pts, "
+        f"loops {loops}, stats {sys_b.tracker.stats}",
+        file=sys.stderr, flush=True,
+    )
+    print(
+        json.dumps({
+            "metric": "loop_bench_fps", "value": round(fps, 2),
+            "unit": "frames/s", "vs_baseline": round(fps / BASELINE_FPS, 3),
+            "loops": int(loops),
+        }),
+        flush=True,
+    )
+    try:
+        sys_b.shutdown()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main():
     import jax
 
@@ -291,11 +450,27 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    if "loop" in sys.argv[1:]:
+        bench_loop()
+        return
+
     fps = 0.0
     try:
         if _left() > 240.0:
             bench_system(measure=False)  # warm pass: fill the jit cache
-        fps, done = bench_system()
+        # two measured passes, combined as total frames / total wall time:
+        # thread-timing luck (keyframe cadence vs mapping bursts on the
+        # shared chip) gives single passes a wide spread; two independent
+        # systems halve it honestly
+        fps, _, n1, w1 = bench_system()
+        n2 = w2 = 0
+        if _left() > 60.0:
+            fps2, _, n2, w2 = bench_system()
+            if n1 + n2 > 0 and w1 + w2 > 0:
+                fps = (n1 + n2) / (w1 + w2)
+                print(f"[bench] combined over 2 passes: {fps:.2f} fps "
+                      f"({n1}f/{w1:.1f}s + {n2}f/{w2:.1f}s)",
+                      file=sys.stderr, flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] system bench failed: {e!r}", file=sys.stderr,
               flush=True)

@@ -290,3 +290,65 @@ def test_gba_propagation_to_mid_solve_keyframes():
         m.pt_pos[pid] @ m.kf_pose[kf_new][:3, :3].T + m.kf_pose[kf_new][:3, 3]
     )
     assert np.allclose(pc_after, pc_before[0], atol=1e-4), (pc_after, pc_before)
+
+
+def test_gba_propagation_is_parent_order_robust():
+    """KF-culling re-parenting can attach a child to a LARGER-uid parent;
+    propagation must still correct the parent first (the reference walks
+    the spanning tree BFS from the root, src/LoopClosing.cc:683-744 — a
+    uid-ordered walk would anchor the child to the parent's uncorrected
+    pose)."""
+    cam, m, gt_pose = build_loop_map()
+    n_kf = m.n_keyframes()
+    descs = np.concatenate(
+        [m.kf_desc_bits[k][m.kf_feat_valid[k]] for k in m.keyframe_ids()]
+    )
+    voc = vocab_mod.train_vocabulary(descs, branching=16, depth=2, iters=4)
+    db = KeyFrameDatabase(voc, m.max_kf)
+    closer = LoopCloser(m, cam, db, match_th=75.0)
+    folds = []
+    closer.defer_ba_sink = folds.append
+
+    closed = False
+    for kf in range(n_kf):
+        closed |= closer.process_keyframe(kf)
+        if closed:
+            break
+    assert closed and folds
+
+    def mk_feats():
+        return dict(
+            uv_und=np.zeros((N_FEAT, 2), np.float32),
+            desc_bits=np.zeros((N_FEAT, 256), np.uint8),
+            octave=np.zeros(N_FEAT, np.int32),
+            size=np.ones(N_FEAT, np.float32),
+            angle=np.zeros(N_FEAT, np.float32),
+            inv_sigma2=np.ones(N_FEAT, np.float32),
+            valid=np.zeros(N_FEAT, bool),
+        )
+
+    anchor = int(m.keyframe_ids()[-1])
+    # child created FIRST (smaller uid) ...
+    t_rel_child = np.eye(4, dtype=np.float32)
+    t_rel_child[:3, 3] = [0.02, 0.01, -0.03]
+    # ... its eventual parent created SECOND (larger uid)
+    t_rel_parent = np.eye(4, dtype=np.float32)
+    t_rel_parent[:3, 3] = [-0.04, 0.03, 0.02]
+    t_parent = (t_rel_parent @ m.kf_pose[anchor]).astype(np.float32)
+    t_child = (t_rel_child @ t_parent).astype(np.float32)
+    kf_child = m.add_keyframe(t_child, 99.0, 998, mk_feats(),
+                              np.full(N_FEAT, -1, np.int32))
+    kf_parent2 = m.add_keyframe(t_parent, 99.5, 999, mk_feats(),
+                                np.full(N_FEAT, -1, np.int32))
+    assert int(m.kf_uid[kf_child]) < int(m.kf_uid[kf_parent2])
+    m.kf_parent[kf_parent2] = anchor
+    m.kf_parent[kf_child] = kf_parent2  # larger-uid parent
+
+    anchor_before = m.kf_pose[anchor].copy()
+    folds[0]()
+    assert not np.allclose(anchor_before, m.kf_pose[anchor], atol=1e-5)
+    # both relative poses preserved through the corrected chain
+    rel_p = m.kf_pose[kf_parent2] @ np.linalg.inv(m.kf_pose[anchor])
+    rel_c = m.kf_pose[kf_child] @ np.linalg.inv(m.kf_pose[kf_parent2])
+    assert np.allclose(rel_p, t_rel_parent, atol=1e-4), rel_p
+    assert np.allclose(rel_c, t_rel_child, atol=1e-4), rel_c

@@ -160,3 +160,53 @@ def test_loop_retrieval_at_scale():
     assert hits >= 8, f"recall {hits}/10"
     assert total_cands > 0
     assert false_pos <= 0.2 * total_cands, (false_pos, total_cands)
+
+
+def test_query_returns_candidates_in_score_order():
+    """Relocalization truncates candidates to a fixed capacity
+    (tracking.py c_cap=8), so _query must return them best-score-first —
+    the reference iterates ALL candidates (reference
+    src/Tracking.cc:1146-1309), which our fixed-capacity batching can only
+    match if the top scorers survive the cut."""
+    import numpy as np
+
+    from anyfeature_vslam_tpu.place_recognition.database import (
+        KeyFrameDatabase,
+    )
+    from anyfeature_vslam_tpu.place_recognition.vocab import train_vocabulary
+
+    rng = np.random.default_rng(7)
+    n_feat, n_kf = 40, 12
+    descs = rng.integers(0, 2, (n_kf + 1, n_feat, 32), dtype=np.uint8) * 255
+    # keyframe i shares i*3 descriptor rows with the query -> score grows
+    # with i, while insertion (slot) order is the reverse ranking
+    query = descs[-1]
+    for i in range(n_kf):
+        k = min(3 * i, n_feat)
+        descs[i, :k] = query[:k]
+    voc = train_vocabulary(
+        descs.reshape(-1, 32).astype(np.uint8), branching=8, depth=2,
+        iters=4, seed=0,
+    )
+
+    class _StubMap:
+        kf_valid = np.ones(64, bool)
+
+        def covisible_keyframes(self, kf, min_weight=15, max_n=None):
+            return np.zeros(0, np.int64), None
+
+    db = KeyFrameDatabase(voc, 64)
+    for i in range(n_kf):
+        db.add(i, descs[i], np.ones(n_feat, bool))
+    cands = db.detect_relocalization_candidates(
+        query, np.ones(n_feat, bool), _StubMap()
+    )
+    assert len(cands) >= 2
+    # scores must be non-increasing along the returned order
+    bow_q = db.compute_bow(query, np.ones(n_feat, bool))
+    _, _, scores = db._shared_and_scores(bow_q, np.zeros(64, bool))
+    got = [float(scores[c]) for c in cands]
+    assert got == sorted(got, reverse=True), got
+    # the best-scoring database keyframe is FIRST (it would survive any
+    # truncation)
+    assert cands[0] == int(np.argmax(scores))
