@@ -121,7 +121,8 @@ class KeyFrameDatabase:
         scores = np.where(common, np.minimum(q_w[wi], self.kf_weights), 0.0).sum(-1)
         return cand, shared, scores.astype(np.float32)
 
-    def _query(self, bow_q, exclude, min_score, covis_groups):
+    def _query(self, bow_q, exclude, min_score, covis_groups,
+               order_by_score: bool = False):
         cand, shared, scores = self._shared_and_scores(bow_q, exclude)
         if shared.max(initial=0) == 0:
             return []
@@ -139,12 +140,15 @@ class KeyFrameDatabase:
         best_acc = max(a for a, _ in acc_best)
         th = 0.75 * best_acc
         out, seen = [], set()
-        # highest accumulated score first: relocalization truncates to a
-        # fixed candidate capacity, so slot order could drop the best
-        # match (the reference iterates ALL candidates round-robin,
-        # src/Tracking.cc:1146-1309; ordering by score preserves the top
-        # ones under our fixed-capacity batching)
-        for acc, kf in sorted(acc_best, key=lambda x: -x[0]):
+        # order_by_score: relocalization truncates to a fixed candidate
+        # capacity, so slot order could drop the best match (the reference
+        # iterates ALL candidates round-robin, src/Tracking.cc:1146-1309;
+        # score order preserves the top ones under fixed-capacity
+        # batching). Loop detection keeps insertion order: its consumers
+        # try every candidate anyway.
+        ranked = (sorted(acc_best, key=lambda x: -x[0])
+                  if order_by_score else acc_best)
+        for acc, kf in ranked:
             if acc > th and kf not in seen:
                 seen.add(kf)
                 out.append(kf)
@@ -183,7 +187,8 @@ class KeyFrameDatabase:
         bow_q = self.compute_bow(desc_bits, valid)
         exclude = np.zeros(self.max_kf, bool)
         covis_groups = self._covis_groups(slam_map)
-        return self._query(bow_q, exclude, 0.0, covis_groups)
+        return self._query(bow_q, exclude, 0.0, covis_groups,
+                           order_by_score=True)
 
     def _covis_groups(self, slam_map, top: int = 10):
         """Top-covisible groups for every present keyframe, from ONE native

@@ -774,6 +774,12 @@ class Tracker:
         self._check_replaced_in_last_frame()
         if not self.only_tracking:
             fast = self._try_fast_track(frame, img)
+            if fast is not None and not fast and not self._draining \
+                    and self.pipeline_depth == 0:
+                # sequential mode: a fused-path failure is authoritative
+                # (round-4 semantics — the staged retry exists for the
+                # pipelined replay, where the failure may be speculative)
+                return False
             if fast is None or not fast:
                 from anyfeature_vslam_tpu import perfcount
                 import time as _time
@@ -1087,6 +1093,7 @@ class Tracker:
         ):
             return None
         m = self.map
+        fs_rebuilt = False
         chain = self._chain
         if chain is not None and chain["fid"] != frame.frame_id - 1:
             chain = None  # a slow/lost frame broke the chain
@@ -1118,37 +1125,85 @@ class Tracker:
             # mid-event anyway when the inlier count shows real decay —
             # a sparse block beats a decayed one.
             age = frame.frame_id - self._fs_built_fid
-            if (
-                fs is None
-                or (age >= 3
+            if self.pipeline_depth > 0:
+                # pipelined: rebuilds are rate-limited and may fire
+                # mid-event (outside the sparse phase) on inlier decay
+                need = fs is None or (
+                    age >= 3
                     and (self.mapping_idle()
                          or (self.snapshot_safe()
-                             and (self.n_inliers < 45 or age >= 10))))
-            ):
+                             and (self.n_inliers < 45 or age >= 10)))
+                )
+            else:
+                # sequential: rebuild exactly when mapping is parked — the
+                # event is atomic here, so the snapshot is always built
+                # from settled post-event state (round-4 semantics)
+                need = fs is None or self.mapping_idle()
+            if need:
                 t_fs = _time.perf_counter()
                 with self.map_lock:
                     fs = self._build_fast_state()
                 self._fast_state = fs
                 self._fs_built_fid = frame.frame_id
+                fs_rebuilt = True
                 perfcount.bump("t_fs_rebuild_s", _time.perf_counter() - t_fs)
                 perfcount.bump("fs_rebuilds")
                 if fs is None:
                     return None
+        if (
+            fs_rebuilt and chain is not None and self.last is not None
+            and self.last.frame_id == chain["fid"]
+        ):
+            # RESEED the device chain from host truth whenever the
+            # snapshot refreshes and the last retired frame is current:
+            # mapping has refined poses/points since the chain's raw
+            # program outputs (BA folds, mint-time sync), and a chain that
+            # never re-anchors accumulates that divergence until matching
+            # decays (regressed the sustained-drift merge scenario when
+            # the chain was first decoupled from the snapshot)
+            carry = self._build_fast_carry()
+            if carry is not None:
+                chain = dict(
+                    fid=self.last.frame_id, carry=carry,
+                    pose=jnp.asarray(self.last.pose.astype(np.float32)),
+                    prev=None,
+                )
         carry = chain["carry"]
         reloc_ok = frame.frame_id >= self.last_reloc_frame_id + 2
-        if chain["prev"] is not None and reloc_ok:
-            # velocity from the two previous dispatches, all on device
+        if (
+            self.pipeline_depth == 0 and self.last is not None
+            and self.last.pose is not None
+            and self.last.frame_id == chain["fid"]
+        ):
+            # sequential mode: prediction + LM seed from HOST poses, which
+            # incorporate every mapping-side refinement (mint-time sync,
+            # BA folds) — exactly the round-4 semantics. Predicting from
+            # the raw device-chain outputs instead let tracking drift away
+            # from the refined map in sustained-drift segments (regressed
+            # the merge scenario).
+            use_motion = self.velocity is not None and reloc_ok
+            pred = jnp.asarray((
+                (self.velocity @ self.last.pose) if use_motion
+                else self.last.pose
+            ).astype(np.float32))
+            last_pose_d = jnp.asarray(self.last.pose.astype(np.float32))
+        elif chain["prev"] is not None and reloc_ok:
+            # pipelined: velocity from the two previous dispatches, all on
+            # device (the host has not seen these poses yet)
             use_motion = True
             pred = fast_track.predict_pose(chain["pose"], chain["prev"])
+            last_pose_d = chain["pose"]
         elif self.velocity is not None and reloc_ok and self.last is not None \
                 and self.last.frame_id == chain["fid"]:
             use_motion = True
             pred = jnp.asarray(
                 (self.velocity @ self.last.pose).astype(np.float32)
             )
+            last_pose_d = chain["pose"]
         else:
             use_motion = False
             pred = chain["pose"]
+            last_pose_d = chain["pose"]
         dc = self._dev_consts
         if dc is None:
             # per-run device constants, uploaded once (a fresh jnp.asarray
@@ -1161,7 +1216,7 @@ class Tracker:
             carry["uv"], carry["bits"], carry["size"], carry["angle"],
             carry["match_pt"], carry["match_pos"],
             *fs["ref"], *fs["block"],
-            pred, chain["pose"],
+            pred, last_pose_d,
             dc["true"] if use_motion else dc["false"],
             dc["lo"], dc["hi"],
             float(self.cam.fx), float(self.cam.fy),
@@ -1261,10 +1316,10 @@ class Tracker:
         m.pt_visible[vis_ids] += 1
         found = matches[matches >= 0]
         m.pt_found[found] += 1
-        # the reference-KF refresh is a (K, N) scan; every other frame is
-        # plenty (the anchor only needs SOME live covisible keyframe, and
-        # minting overrides it anyway)
-        if frame.frame_id % 2 == 0:
+        # the reference-KF refresh is a (K, N) scan; in the pipelined hot
+        # loop every other frame is plenty (the anchor only needs SOME
+        # live covisible keyframe, and minting overrides it anyway)
+        if not pipelined or frame.frame_id % 2 == 0:
             self._update_ref_kf_from_matches(matches)
         self._dbg(f"fast: {len(found)} matches -> {n_in} inliers")
         # hysteresis band: the reference hard-fails TrackLocalMap below 30
@@ -1278,7 +1333,7 @@ class Tracker:
         # would.
         weak_floor = max(cfg.kf_min_inliers + 3, 18)
         ok = n_in >= cfg.min_local_inliers
-        if not ok and n_in >= weak_floor and self._weak_streak < 3:
+        if not ok and pipelined and n_in >= weak_floor and self._weak_streak < 3:
             self._weak_streak += 1
             perfcount.bump("weak_frames")
             ok = True
@@ -1659,6 +1714,10 @@ class Tracker:
         frame.matches[create] = ids
 
     def _create_new_keyframe(self, frame: FrameData):
+        # break the device prediction chain: the minted keyframe's pose
+        # is synced with mapping's refinements below, and the next
+        # dispatch should re-anchor on that host truth
+        self._chain = None
         if isinstance(frame.feats, DeviceFeats):
             # land every feature field in ONE batched transfer BEFORE
             # taking the lock: add_keyframe's host snapshot would otherwise

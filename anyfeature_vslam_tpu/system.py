@@ -309,12 +309,16 @@ class System:
 
     def _register_deferred_fold(self, fold):
         """Park a deferred device-side solve (loop-closure GBA) in the local
-        mapper's pending slot; a watcher thread lands it under the map lock
-        as soon as the solve finishes (reference detached-GBA-thread
-        semantics, src/LoopClosing.cc:589-593)."""
+        mapper's pending slot. In threaded mode a watcher thread lands it
+        under the map lock as soon as the solve finishes (reference
+        detached-GBA-thread semantics, src/LoopClosing.cc:589-593); in
+        synchronous mode it lands deterministically at the next event's
+        flush — a watcher landing it MID-FRAME would mutate poses under a
+        tracker that does lock-free host reads between its stages."""
         self.local_mapper.fold_pending()
         self.local_mapper._pending_fold = fold
-        self.local_mapper.arm_fold_watcher()
+        if self._worker is not None:
+            self.local_mapper.arm_fold_watcher()
 
     def _maybe_train_vocabulary(self):
         """Train a vocabulary from accumulated keyframe descriptors once

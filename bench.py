@@ -294,6 +294,23 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
             f"-{d.get('fuse_points_merged', 0):.0f} merged",
             file=sys.stderr, flush=True,
         )
+        # roll-up: the tracking-thread phase counters must explain the
+        # steady window's MEAN frame time (VERDICT r4 item 2 — the
+        # instrument built to explain the number must account for it)
+        acct = sum(
+            d.get(k, 0.0) for k in
+            ("t_dispatch_s", "t_retire_s", "t_staged_s", "t_reloc_s")
+        )
+        tot = float(np.sum(steady))
+        print(
+            f"[bench] accounted {acct:.1f}s of {tot:.1f}s steady-window "
+            f"tracking time ({100.0 * acct / max(tot, 1e-9):.0f}%): "
+            f"dispatch {d.get('t_dispatch_s', 0.0):.1f} + retire "
+            f"{d.get('t_retire_s', 0.0):.1f} + staged "
+            f"{d.get('t_staged_s', 0.0):.1f} + reloc "
+            f"{d.get('t_reloc_s', 0.0):.1f}",
+            file=sys.stderr, flush=True,
+        )
     stages = getattr(system.local_mapper, "stage_times", None)
     if stages:
         parts = ", ".join(
