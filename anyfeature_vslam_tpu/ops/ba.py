@@ -364,25 +364,12 @@ def _bundle_adjust_impl(
     return poses, pts, chi2, z
 
 
-def _bundle_adjust_dense_impl(
-    poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
-    fx, fy, cx, cy,
-    n_iters: int = 10, use_huber: bool = True,
-):
-    """Small-problem LM: explicit Schur complement + one dense solve.
-
-    Same LM schedule/acceptance as _bundle_adjust_impl, but instead of 25
-    matrix-free CG applications per step (each a sequential chain of
-    scatter/gather segment ops — launch-latency-bound on TPU) it builds all
-    camera/point/cross blocks with ONE combined segment-sum keyed by
-    (kf * P + pt), forms the reduced camera system S = Hcc - Y Hpp^-1 Y^T
-    densely ((6K, 6K), K <= _DENSE_MAX_K), and solves it exactly. Measured
-    ~2.6x faster than the CG path at local-BA size (K=20, P=3k, O=12k) with
-    identical convergence; the exact solve is if anything tighter than
-    25-step CG. Single-chip only — the sharded paths keep CG.
-    """
-    k_cams = poses.shape[0]
-    n_pts = pts.shape[0]
+def _make_dense_lm(kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+                   fx, fy, cx, cy, use_huber, n_pts):
+    """Shared builders for the dense-Schur LM: returns (total_cost,
+    lm_step) closures over the observation arrays. Used by the monolithic
+    while_loop impl AND the chunked per-iteration dispatch path."""
+    k_cams = kf_free.shape[0]
     fx = jnp.asarray(fx, jnp.float32)
     fy = jnp.asarray(fy, jnp.float32)
     cx = jnp.asarray(cx, jnp.float32)
@@ -395,10 +382,6 @@ def _bundle_adjust_dense_impl(
         e, _, _, z = _residuals(poses, pts, obs_kf, obs_pt, obs_uv, fx, fy, cx, cy)
         chi2 = jnp.sum(e * e, axis=-1) * obs_w
         return jnp.sum(jnp.where(obs_valid, _robust_cost(chi2, use_huber), 0.0))
-
-    def lm_cond(carry):
-        i, poses, pts, lam, cost, done = carry
-        return (i < n_iters) & ~done
 
     def lm_step(carry):
         i, poses, pts, lam, cost, _ = carry
@@ -470,6 +453,40 @@ def _bundle_adjust_dense_impl(
         done = (jnp.max(jnp.abs(dxc)) < DX_TOL) & (jnp.max(jnp.abs(dxp)) < DX_TOL)
         return (i + 1, poses, pts, lam, cost, done)
 
+    return total_cost, lm_step
+
+
+def _bundle_adjust_dense_impl(
+    poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+    fx, fy, cx, cy,
+    n_iters: int = 10, use_huber: bool = True,
+):
+    """Small-problem LM: explicit Schur complement + one dense solve.
+
+    Same LM schedule/acceptance as _bundle_adjust_impl, but instead of 25
+    matrix-free CG applications per step (each a sequential chain of
+    scatter/gather segment ops — launch-latency-bound on TPU) it builds all
+    camera/point/cross blocks with ONE combined segment-sum keyed by
+    (kf * P + pt), forms the reduced camera system S = Hcc - Y Hpp^-1 Y^T
+    densely ((6K, 6K), K <= _DENSE_MAX_K), and solves it exactly. Measured
+    ~2.6x faster than the CG path at local-BA size (K=20, P=3k, O=12k) with
+    identical convergence; the exact solve is if anything tighter than
+    25-step CG. Single-chip only — the sharded paths keep CG.
+    """
+    n_pts = pts.shape[0]
+    total_cost, lm_step = _make_dense_lm(
+        kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+        fx, fy, cx, cy, use_huber, n_pts,
+    )
+    fx = jnp.asarray(fx, jnp.float32)
+    fy = jnp.asarray(fy, jnp.float32)
+    cx = jnp.asarray(cx, jnp.float32)
+    cy = jnp.asarray(cy, jnp.float32)
+
+    def lm_cond(carry):
+        i, poses, pts, lam, cost, done = carry
+        return (i < n_iters) & ~done
+
     init_cost = total_cost(poses, pts)
     _, poses, pts, _, _, _ = jax.lax.while_loop(
         lm_cond,
@@ -517,6 +534,99 @@ def classify_outliers(chi2, z, th: float = CHI2_MONO):
     """Observation outlier mask after a BA stage (reference re-checks
     chi2 > 5.991 or negative depth, src/Optimizer.cc:661-676)."""
     return (chi2 > th) | (z <= 0)
+
+
+# ---------------------------------------------------------------- chunked
+# Per-iteration dispatch form of the dense solve, for the ASYNC local BA:
+# the monolithic two-stage program occupies the (single, FIFO) device
+# stream for the whole solve, so every pipelined tracking program
+# dispatched during it queues behind ~100 ms of solver — measured as the
+# tracker's retire-wait tail. Dispatching ONE LM iteration per program
+# (all async, chained through device-resident carry; zero host syncs)
+# bounds any tracking program's queue delay to one iteration (~5 ms). The
+# solve's math is IDENTICAL — same step, same acceptance, same early-exit
+# `done` flag (a converged chunk costs ~0 device time).
+
+
+@partial(jax.jit, static_argnames=("use_huber",))
+def _dense_cost(poses, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+                fx, fy, cx, cy, use_huber: bool):
+    total_cost, _ = _make_dense_lm(
+        jnp.zeros(poses.shape[0], bool), obs_kf, obs_pt, obs_uv, obs_w,
+        obs_valid, fx, fy, cx, cy, use_huber, pts.shape[0],
+    )
+    return total_cost(poses, pts)
+
+
+@partial(jax.jit, static_argnames=("use_huber",))
+def _dense_lm_chunk(poses, pts, lam, cost, done, kf_free,
+                    obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+                    fx, fy, cx, cy, use_huber: bool):
+    """One LM iteration of the dense-Schur solve (no-op once `done`)."""
+    _, lm_step = _make_dense_lm(
+        kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+        fx, fy, cx, cy, use_huber, pts.shape[0],
+    )
+
+    def step(_):
+        _, p2, x2, l2, c2, d2 = lm_step(
+            (jnp.int32(0), poses, pts, lam, cost, done)
+        )
+        return p2, x2, l2, c2, d2
+
+    def skip(_):
+        return poses, pts, lam, cost, done
+
+    return jax.lax.cond(~done, step, skip, None)
+
+
+@jax.jit
+def _dense_chi2(poses, pts, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+                fx, fy, cx, cy):
+    e, _, _, z = _residuals(poses, pts, obs_kf, obs_pt, obs_uv,
+                            jnp.asarray(fx, jnp.float32),
+                            jnp.asarray(fy, jnp.float32),
+                            jnp.asarray(cx, jnp.float32),
+                            jnp.asarray(cy, jnp.float32))
+    chi2 = jnp.sum(e * e, axis=-1) * obs_w
+    return jnp.where(obs_valid, chi2, jnp.inf), z
+
+
+def bundle_adjust_two_stage_chunked(
+    poses, pts, kf_free, obs_kf, obs_pt, obs_uv, obs_w, obs_valid,
+    fx, fy, cx, cy,
+    n_iters_a: int = 5, n_iters_b: int = 10,
+):
+    """Dense two-stage schedule as ~n_iters_a + n_iters_b + 4 SMALL async
+    dispatches instead of 2 monolithic programs. Host never blocks; the
+    returned arrays are plain futures like the monolithic path's. Only
+    valid where the dense path is (K <= _DENSE_MAX_K, K*P <= _DENSE_MAX_KP
+    — caller checks)."""
+    args_obs = (obs_kf, obs_pt, obs_uv, obs_w, obs_valid)
+    cost = _dense_cost(poses, pts, *args_obs, fx, fy, cx, cy, True)
+    lam = jnp.float32(1e-4)
+    done = jnp.bool_(False)
+    for _ in range(n_iters_a):
+        poses, pts, lam, cost, done = _dense_lm_chunk(
+            poses, pts, lam, cost, done, kf_free, *args_obs,
+            fx, fy, cx, cy, True,
+        )
+    chi2, z = _dense_chi2(poses, pts, *args_obs, fx, fy, cx, cy)
+    obs_valid2 = obs_valid & ~classify_outliers(chi2, z)
+    args_obs2 = (obs_kf, obs_pt, obs_uv, obs_w, obs_valid2)
+    cost = _dense_cost(poses, pts, *args_obs2, fx, fy, cx, cy, False)
+    lam = jnp.float32(1e-4)
+    done = jnp.bool_(False)
+    for _ in range(n_iters_b):
+        poses, pts, lam, cost, done = _dense_lm_chunk(
+            poses, pts, lam, cost, done, kf_free, *args_obs2,
+            fx, fy, cx, cy, False,
+        )
+    chi2, z = _dense_chi2(poses, pts, *args_obs2, fx, fy, cx, cy)
+    chi2_all = jnp.where(
+        obs_valid, jnp.where(jnp.isinf(chi2), 1e9, chi2), jnp.inf
+    )
+    return poses, pts, chi2_all, z, obs_valid2
 
 
 def bundle_adjust_two_stage(

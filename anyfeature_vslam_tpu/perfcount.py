@@ -24,6 +24,25 @@ from collections import defaultdict
 _counts: dict = defaultdict(float)
 enabled = True
 
+# optional event trace (bench AF_TRACE=1): wall-clock-stamped markers from
+# the tracking/mapping threads, correlated offline with per-frame times to
+# locate the frame-time tail. Cheap append; off unless trace_enabled.
+_events: list = []
+trace_enabled = False
+
+
+def event(name: str, **kw):
+    if trace_enabled:
+        _events.append((time.perf_counter(), name, kw))
+
+
+def events() -> list:
+    return list(_events)
+
+
+def clear_events():
+    _events.clear()
+
 
 def bump(key: str, n: float = 1.0):
     if enabled:

@@ -13,6 +13,8 @@ call chain with bounded iteration counts (SURVEY 2.7).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -192,6 +194,21 @@ def run_bundle_adjustment(
                 mesh, *args, n_iters_a=n_iters_a, n_iters_b=n_iters_b
             )
         )
+    elif (
+        defer
+        and k_cap <= ba_ops._DENSE_MAX_K
+        and k_cap * p_cap <= ba_ops._DENSE_MAX_KP
+        and not os.environ.get("AF_NO_CHUNKED_BA")
+    ):
+        # async solve: per-iteration dispatches so concurrent pipelined
+        # tracking programs interleave on the shared device stream instead
+        # of queuing behind one ~100 ms monolithic solver program (the
+        # tracker's measured retire-wait tail); identical math
+        new_poses, new_pts, chi2, z, valid2 = (
+            ba_ops.bundle_adjust_two_stage_chunked(
+                *args, n_iters_a=n_iters_a, n_iters_b=n_iters_b
+            )
+        )
     else:
         new_poses, new_pts, chi2, z, valid2 = ba_ops.bundle_adjust_two_stage(
             *args, n_iters_a=n_iters_a, n_iters_b=n_iters_b
@@ -284,6 +301,14 @@ class LocalMapper:
         # and a tracker snapshot built in that window starves matching
         # for several frames (the tracker's rebuild deadline checks this)
         self.in_sparse_phase = False
+        # set after an event's triangulation/fusion folds land: the map
+        # just gained its new points, and the tracker should refresh its
+        # device snapshot promptly so those points become matchable BEFORE
+        # the next keyframe mints — otherwise they never gain a third
+        # observation and recent-point culling erases them (measured: the
+        # pipelined map thinned to ~40% of the sequential map's points,
+        # collapsing the inlier count). Cleared by the tracker's rebuild.
+        self.fresh_event = False
         # recent points: pt_id -> kf count at creation (for culling)
         self.recent: dict[int, int] = {}
         self.n_kf_processed = 0
@@ -387,11 +412,23 @@ class LocalMapper:
         ev = getattr(f, "ready", None)
 
         def run():
+            import time as _time
+
             if ev is not None:
+                t_w = _time.perf_counter()
                 ev.wait()
+                from anyfeature_vslam_tpu import perfcount
+
+                perfcount.event("ba_ready",
+                                dur=_time.perf_counter() - t_w)
             with self.lock:
                 if self._pending_fold is f:
+                    from anyfeature_vslam_tpu import perfcount
+
+                    t0 = _time.perf_counter()
                     self.fold_pending()
+                    perfcount.event("ba_fold",
+                                    dur=_time.perf_counter() - t0)
 
         threading.Thread(target=run, daemon=True, name="ba-fold").start()
 
@@ -443,7 +480,10 @@ class LocalMapper:
             stages.setdefault(name, []).append(t1 - t0)
             return t1
 
-        t = time.perf_counter()
+        from anyfeature_vslam_tpu import perfcount
+
+        t_ev0 = t = time.perf_counter()
+        perfcount.event("map_event_start", kf=int(kf))
         # if the previous event's BA solve is still executing, wait for its
         # results to land BEFORE taking the lock — folding an unlanded
         # solve under the lock would stall the tracking thread for the
@@ -494,6 +534,7 @@ class LocalMapper:
                     with self.lock:
                         self._fold_fuse(rec_f)
                 self.in_sparse_phase = False
+                self.fresh_event = True
                 t = mark("fuse", t)
             else:
                 with self.lock:
@@ -512,6 +553,8 @@ class LocalMapper:
         with self.lock:
             self._cull_keyframes(kf)
         mark("cullkfs", t)
+        perfcount.event("map_event_end", kf=int(kf),
+                        dur=time.perf_counter() - t_ev0)
         if self.debug:
             mm = self.map.kf_matches[kf]
             print(

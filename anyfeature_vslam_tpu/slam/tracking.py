@@ -307,6 +307,13 @@ class Tracker:
         # points culled, new ones not yet folded); System wires the
         # LocalMapper flag — gates the snapshot-rebuild deadline
         self.snapshot_safe = lambda: True
+        # one-shot "the event's folds just landed" signal (System wires the
+        # LocalMapper.fresh_event flag): triggers an EAGER snapshot rebuild
+        # so freshly triangulated points become matchable before the next
+        # keyframe mints (else culling erases them at age 2 and the map
+        # thins). check() reads it; clear() consumes it after a rebuild.
+        self.map_fresh_check = lambda: False
+        self.map_fresh_clear = lambda: None
         # BA-interrupt hook (reference Tracking.cc:905-918 InterruptBA):
         # when a keyframe is wanted but mapping is busy, land the running
         # solve so the next frame finds mapping idle. System wires
@@ -548,6 +555,10 @@ class Tracker:
             # rebuild here could capture the map mid-event in its sparse
             # phase — the very state that causes these failures)
             self._fast_state["rev"] = -(10 ** 9)
+        from anyfeature_vslam_tpu import perfcount
+
+        perfcount.event("fast_failure", fid=frame.frame_id,
+                        n_pending=1 + len(self._inflight))
         pending = [frame] + [rec["frame"] for rec in self._inflight]
         self._inflight.clear()
         self._draining = True
@@ -801,8 +812,28 @@ class Tracker:
                     ok = self._track_reference_kf(frame)
                 if ok:
                     ok = self._track_local_map(frame)
+                    if (
+                        not ok and self.pipeline_depth > 0
+                        and frame.pose is not None
+                        and self.n_inliers >= max(cfg.kf_min_inliers + 3, 18)
+                        and self._weak_streak < 3
+                    ):
+                        # same hysteresis band as the pipelined retire: a
+                        # replayed frame in [weak_floor, 30) keeps tracking
+                        # instead of paying a LOST->relocalization excursion
+                        # (~0.65 s measured); the map usually re-densifies
+                        # at the next fold. Three consecutive weak frames
+                        # still fail as the reference would
+                        # (src/Tracking.cc:829-836).
+                        self._weak_streak += 1
+                        perfcount.bump("weak_frames")
+                        ok = True
+                    elif ok:
+                        self._weak_streak = 0
                 perfcount.bump("t_staged_s", _time.perf_counter() - _t0)
                 perfcount.bump("staged_frames")
+                perfcount.event("staged", fid=frame.frame_id,
+                                dur=_time.perf_counter() - _t0, ok=ok)
                 if not ok:
                     return False
         else:
@@ -1126,9 +1157,12 @@ class Tracker:
             # a sparse block beats a decayed one.
             age = frame.frame_id - self._fs_built_fid
             if self.pipeline_depth > 0:
-                # pipelined: rebuilds are rate-limited and may fire
-                # mid-event (outside the sparse phase) on inlier decay
-                need = fs is None or (
+                # pipelined: one EAGER rebuild right after each event's
+                # folds land (fresh new points must enter the block before
+                # the next keyframe mints — see map_fresh_check), plus the
+                # rate-limited idle/decay rebuilds
+                fresh = self.map_fresh_check() and self.snapshot_safe()
+                need = fs is None or (age >= 2 and fresh) or (
                     age >= 3
                     and (self.mapping_idle()
                          or (self.snapshot_safe()
@@ -1146,8 +1180,11 @@ class Tracker:
                 self._fast_state = fs
                 self._fs_built_fid = frame.frame_id
                 fs_rebuilt = True
+                self.map_fresh_clear()
                 perfcount.bump("t_fs_rebuild_s", _time.perf_counter() - t_fs)
                 perfcount.bump("fs_rebuilds")
+                perfcount.event("fs_rebuild", fid=frame.frame_id,
+                                dur=_time.perf_counter() - t_fs)
                 if fs is None:
                     return None
         if (
@@ -1289,6 +1326,8 @@ class Tracker:
             pose_np, pt_np, n_in, vis_np, ok1 = jax.device_get(rec["small"])
         t1 = _time.perf_counter()
         perfcount.bump("t_retire_wait_s", t1 - t0)
+        if t1 - t0 > 0.02:
+            perfcount.event("retire_wait", fid=frame.frame_id, dur=t1 - t0)
         n_in = int(n_in)
         if not bool(ok1):
             # both branches failed: tracking lost (reference Track()
@@ -1333,7 +1372,14 @@ class Tracker:
         # would.
         weak_floor = max(cfg.kf_min_inliers + 3, 18)
         ok = n_in >= cfg.min_local_inliers
-        if not ok and pipelined and n_in >= weak_floor and self._weak_streak < 3:
+        # the hysteresis band applies whenever the tracker RUNS pipelined
+        # (including the sequential replay of a speculative failure, which
+        # retires with pipelined=False): there a hard fail costs a
+        # LOST->relocalization excursion, measured ~0.65 s each
+        if (
+            not ok and (pipelined or self.pipeline_depth > 0)
+            and n_in >= weak_floor and self._weak_streak < 3
+        ):
             self._weak_streak += 1
             perfcount.bump("weak_frames")
             ok = True
@@ -1468,6 +1514,8 @@ class Tracker:
                 return self._relocalization_impl(frame)
         finally:
             perfcount.bump("t_reloc_s", _time.perf_counter() - _t0)
+            perfcount.event("reloc", fid=frame.frame_id,
+                            dur=_time.perf_counter() - _t0)
 
     def _relocalization_impl(self, frame: FrameData) -> bool:
         from anyfeature_vslam_tpu.ops import pnp as pnp_ops
@@ -1714,6 +1762,9 @@ class Tracker:
         frame.matches[create] = ids
 
     def _create_new_keyframe(self, frame: FrameData):
+        from anyfeature_vslam_tpu import perfcount
+
+        perfcount.event("kf_mint", fid=frame.frame_id)
         # break the device prediction chain: the minted keyframe's pose
         # is synced with mapping's refinements below, and the next
         # dispatch should re-anchor on that host truth

@@ -221,19 +221,37 @@ class System:
         # deterministic) otherwise.
         if pipeline_depth is None:
             pipeline_depth = 2 if threaded_mapping else 0
+            env_d = os.environ.get("AF_PIPELINE_DEPTH")
+            if env_d and threaded_mapping:
+                pipeline_depth = int(env_d)
         self.tracker.pipeline_depth = int(pipeline_depth)
         self._worker = None
         if threaded_mapping:
             self._worker = _MappingWorker(self._mapping_event)
             # mapping is busy while the worker runs an event OR a deferred
             # BA fold is still outstanding (the reference's
-            # AcceptKeyFrames gate covers both states the same way)
+            # AcceptKeyFrames gate covers both states the same way). An
+            # idle()-only gate was tried (r5): with no wall-clock camera
+            # pacing it floods keyframes during bootstrap (5 in 5 frames),
+            # churns the map through cull/fuse cycles and collapses
+            # tracking — the fold-landed condition is the throttle that
+            # the reference gets from real-time pacing. The chunked async
+            # BA (ops/ba.py) lands the fold in ~40-70 ms, so this gate no
+            # longer starves keyframe cadence the way round 4's did.
             self.tracker.mapping_idle = (
                 lambda: self._worker.idle() and self.local_mapper.is_idle()
             )
             self.tracker.snapshot_safe = (
                 lambda: not self.local_mapper.in_sparse_phase
             )
+            self.tracker.map_fresh_check = (
+                lambda: self.local_mapper.fresh_event
+            )
+
+            def _fresh_clear():
+                self.local_mapper.fresh_event = False
+
+            self.tracker.map_fresh_clear = _fresh_clear
             # a running worker event cannot be aborted mid-flight; the
             # keyframe simply lands when the worker goes idle (the
             # reference's interrupted BA achieves the same one-frame delay)

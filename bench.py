@@ -185,6 +185,11 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
     nxt = None
     pc_mark = None
     t_warm = t_end = None
+    trace = os.environ.get("AF_TRACE") and measure
+    if trace:
+        perfcount.trace_enabled = True
+        perfcount.clear_events()
+    frame_marks = []  # (t_abs_start, dur) per frame
     try:
         for i in range(n):
             if _left() < 15.0:
@@ -194,8 +199,11 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
             img = nxt if nxt is not None else _prefetch(i)
             if i + 1 < n:
                 nxt = _prefetch(i + 1)
+            t_f0 = time.perf_counter()
             system.track_monocular(img, seq.timestamps[i],
                                    image_path=seq.image_paths[i])
+            if trace:
+                frame_marks.append((t_f0, time.perf_counter() - t_f0))
             done += 1
             if done == WARMUP:
                 pc_mark = perfcount.snapshot()
@@ -311,6 +319,27 @@ def bench_system(measure: bool = True, n_frames: int | None = None):
             f"{d.get('t_reloc_s', 0.0):.1f}",
             file=sys.stderr, flush=True,
         )
+    if trace:
+        tp = os.environ.get("AF_TRACE")
+        path = tp if tp not in ("1", "true") else "/tmp/af_trace.json"
+        # append per-pass: [{"frames": [...], "events": [...]}, ...]
+        runs = []
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    runs = json.load(f)
+            except Exception:  # noqa: BLE001
+                runs = []
+        runs.append({
+            "frames": [(round(t, 4), round(dur, 5)) for t, dur in frame_marks],
+            "events": [
+                (round(t, 4), name, kw) for t, name, kw in perfcount.events()
+            ],
+        })
+        with open(path, "w") as f:
+            json.dump(runs, f)
+        print(f"[bench] trace written: {path}", file=sys.stderr, flush=True)
+        perfcount.trace_enabled = False
     stages = getattr(system.local_mapper, "stage_times", None)
     if stages:
         parts = ", ".join(
