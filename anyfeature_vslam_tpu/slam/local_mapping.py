@@ -36,6 +36,16 @@ def _pad_pow2(n, lo=256):
     return c
 
 
+def _accel_backend() -> bool:
+    """True on an accelerator (TPU) backend. The chunked BA exists to let
+    pipelined tracking programs interleave on the single device stream —
+    on the CPU backend (tests) the extra per-iteration dispatches are pure
+    overhead, so the monolithic program is used there."""
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
 def _pad_sched(n, schedule):
     """Smallest bucket in `schedule` >= n (last bucket if none). Coarse
     explicit schedules keep the number of distinct compiled shapes small —
@@ -199,6 +209,7 @@ def run_bundle_adjustment(
         and k_cap <= ba_ops._DENSE_MAX_K
         and k_cap * p_cap <= ba_ops._DENSE_MAX_KP
         and not os.environ.get("AF_NO_CHUNKED_BA")
+        and _accel_backend()
     ):
         # async solve: per-iteration dispatches so concurrent pipelined
         # tracking programs interleave on the shared device stream instead
@@ -832,6 +843,11 @@ class LocalMapper:
         n = m.n_feat
 
         unmatched1 = (m.kf_matches[kf] < 0) & m.kf_feat_valid[kf]
+        from anyfeature_vslam_tpu import perfcount
+
+        perfcount.bump("tri_targets", n_t)
+        perfcount.bump("tri_unmatched", int(unmatched1.sum()))
+        perfcount.bump("tri_events")
 
         def padded(field, fill=0):
             out = np.full((t_cap,) + field.shape[1:], fill, field.dtype)
@@ -882,6 +898,9 @@ class LocalMapper:
 
         with perfcount.timed_fetch():
             idx2, pts, good = (np.asarray(x) for x in rec["arrays"])
+        from anyfeature_vslam_tpu import perfcount
+
+        perfcount.bump("tri_good_raw", int(good.any(axis=0).sum()))
         col_ok = np.zeros(good.shape[0], bool)
         for i, (t, u) in enumerate(zip(rec["targets"], rec["target_uids"])):
             col_ok[i] = bool(m.kf_valid[t]) and int(m.kf_uid[t]) == u

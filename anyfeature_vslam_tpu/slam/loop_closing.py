@@ -61,13 +61,23 @@ def _pad_pairs(arrays, n, schedule=(64, 256, 1024)):
 
 class LoopCloser:
     def __init__(self, slam_map, cam, database, match_th: float = 75.0,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, lock=None):
+        import threading
+
         self.map = slam_map
         self.cam = cam
         self.mesh = mesh  # optional device mesh: global BA runs sharded
         self.db = database
         self.match_th = match_th
         self.seed = seed
+        # serializes map MUTATIONS against the tracker (System passes its
+        # map_lock in threaded mode). Detection / Sim3 computation read the
+        # map lock-free — the same transient-staleness class the tracker's
+        # own lock-free reads accept; the lock is held only around the
+        # deferred-fold landing (pre_mutate) and the actual loop
+        # correction, so the ~15-30 ms/KF detection stage never stalls
+        # keyframe minting on the tracking thread.
+        self.lock = lock if lock is not None else threading.RLock()
         self.consistent_groups: list[tuple[set, int]] = []
         self._pending_merge = None
         self._loop_points = None
@@ -152,14 +162,18 @@ class LoopCloser:
                       f"{[(sorted(g)[:4], c) for g, c in self.consistent_groups]}",
                       flush=True)
             if candidates and pre_mutate is not None:
-                pre_mutate()
+                with self.lock:
+                    pre_mutate()
             for cand in candidates:
                 ok, r, t, s = self._compute_sim3(kf, cand)
                 if self.debug:
                     print(f"    [loop] sim3 kf={kf} cand={cand} ok={ok}",
                           flush=True)
                 if ok:
-                    self._correct_loop(kf, cand, r, t, s)
+                    # a real correction stops the world exactly as the
+                    # reference does (LoopClosing.cc:424-445)
+                    with self.lock:
+                        self._correct_loop(kf, cand, r, t, s)
                     self.last_loop_kf = uid
                     self.n_loops_closed += 1
                     closed = True

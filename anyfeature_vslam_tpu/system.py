@@ -238,8 +238,10 @@ class System:
             # the reference gets from real-time pacing. The chunked async
             # BA (ops/ba.py) lands the fold in ~40-70 ms, so this gate no
             # longer starves keyframe cadence the way round 4's did.
+            max_pending = int(os.environ.get("AF_MINT_AHEAD", "0"))
             self.tracker.mapping_idle = (
-                lambda: self._worker.idle() and self.local_mapper.is_idle()
+                lambda: self._worker.pending() <= max_pending
+                and self.local_mapper.is_idle()
             )
             self.tracker.snapshot_safe = (
                 lambda: not self.local_mapper.in_sparse_phase
@@ -318,6 +320,7 @@ class System:
             self.loop_closer = LoopCloser(
                 self.map, self.camera, self.database,
                 match_th=self.match_th, seed=self.seed, mesh=self.mesh,
+                lock=self.map_lock,
             )
             # threaded mode: BoW folded one keyframe late so loop-stage
             # events never block on a device round trip
@@ -397,20 +400,18 @@ class System:
             self._maybe_train_vocabulary()
         if self.loop_closer is not None:
             t1 = time.perf_counter()
-            # the loop stage mutates the database and (on a closure) the
-            # whole map; a steady-state stage is ~15 ms so the lock window
-            # is short, and a real correction is allowed to stop the world
-            # exactly as the reference does (LoopClosing.cc:424-445)
-            with self.map_lock:
-                self.loop_closer.process_keyframe(
-                    kf, pre_mutate=self.local_mapper.flush_results
-                )
+            # detection runs LOCK-FREE (the database is worker-private and
+            # map reads tolerate the usual staleness); the LoopCloser takes
+            # the map lock itself only around the deferred-fold landing
+            # and an actual correction (LoopClosing.cc:424-445)
+            self.loop_closer.process_keyframe(
+                kf, pre_mutate=self.local_mapper.flush_results
+            )
             self.loop_times.append(time.perf_counter() - t1)
         elif self.database is not None:
-            with self.map_lock:
-                self.database.add(
-                    kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
-                )
+            self.database.add(
+                kf, self.map.kf_desc_bits[kf], self.map.kf_feat_valid[kf]
+            )
 
     def track_monocular(
         self, img: np.ndarray, ts: float, image_path: str | None = None
