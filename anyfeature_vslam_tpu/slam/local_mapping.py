@@ -584,7 +584,11 @@ class LocalMapper:
     # real neighbors does 2.5x the matching work), and mapping device time
     # directly stalls the pipelined tracker's little per-frame programs on
     # the shared chip. Each step still compiles once (persistent cache).
-    FUSE_T_SCHEDULE = (16, 64, 128)
+    # 32 step matters: the steady covisible neighborhood is ~18-25
+    # targets, and padding those to 64 tripled both fuse programs' device
+    # time — device bursts during events are what the pipelined tracker's
+    # retires queue behind (each step still compiles once, persistent)
+    FUSE_T_SCHEDULE = (16, 32, 64, 128)
 
     def _dispatch_fuse(self, kf: int):
         """Reference SearchInNeighbors (LocalMapping.cc:475-555): project the
